@@ -1,0 +1,355 @@
+"""Differentiable 3D Gaussian splatting rasterizer, TPU-native.
+
+Functional replacement for the reference's ``diff_gauss`` CUDA extension
+(contract reconstructed in SURVEY.md §2.4 from every call site in
+gaussian_renderer/__init__.py:58-121,171-251,322-423). Outputs the same
+6-tuple: (image, depth, normal, alpha, radii, extra), composited over ``bg``,
+with gradients to means3D, screen-space means2D (via ``means2d_offset``),
+SH/colors, opacities, scales and rotations.
+
+TPU-first design (NOT a port of the CUDA tile scheduler):
+
+  * Projection + EWA 2-D covariance: batched dense math over all N Gaussians
+    (VPU-friendly; fuses under jit).
+  * Tile binning: instead of the CUDA duplicate→radix-sort→range pipeline
+    (dynamic shapes XLA can't tile), each 16x16 tile selects its front-most
+    ``max_per_tile`` intersecting Gaussians with a masked top-k over depth.
+    Because transmittance decays monotonically front-to-back, truncating the
+    per-tile list at K front-most splats bounds the error by the residual
+    transmittance; K is configurable (default 256).
+  * Compositing: the sequential front-to-back loop becomes an exclusive
+    cumulative sum of log(1 - alpha) along the sorted K axis — transmittance
+    T_i = exp(cumsum_{j<i} log1p(-a_j)) — so the whole tile composites in
+    parallel, and channel accumulation is one [pixels, K] @ [K, C] MXU matmul.
+    The CUDA early-exit (T < 1e-4 → stop; rasterizer forward impl) is exactly
+    the prefix mask T_incl >= 1e-4 since T is monotone non-increasing.
+  * Backward: pure XLA autodiff through cumsum/exp/matmul/gather — analytic,
+    no hand-written VJP needed; gathers transpose to scatter-adds.
+
+Alpha math parity (CUDA forward.cu semantics): power = -0.5 (A dx² + C dy²)
+- B dx dy with the conic from the EWA covariance + 0.3 px low-pass;
+alpha = min(0.99, opacity · exp(power)); splats with alpha < 1/255 or
+power > 0 skipped; radius = ceil(3 sqrt(λ_max)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.general import quat_normalize, quat_to_rotmat
+from ..utils.sh import eval_sh
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    image_height: int
+    image_width: int
+    tile: int = 16
+    max_per_tile: int = 256       # K front-most splats composited per tile
+    tile_chunk: int = 32          # tiles processed per scan step
+    depth_cull: float = 0.2       # view-space near cull (CUDA: p_view.z <= 0.2)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.image_height // self.tile)
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.image_width // self.tile)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_y * self.tiles_x
+
+
+class Projected(NamedTuple):
+    px: jnp.ndarray        # [N] pixel x of the 2-D mean
+    py: jnp.ndarray        # [N] pixel y
+    depth: jnp.ndarray     # [N] view-space z
+    conic: jnp.ndarray     # [N, 3] inverse 2-D covariance (A, B, C)
+    radius: jnp.ndarray    # [N] float screen radius (3 sigma)
+    visible: jnp.ndarray   # [N] bool
+    normal_cam: jnp.ndarray  # [N, 3] camera-space splat normal
+
+
+class RasterizeOutput(NamedTuple):
+    image: jnp.ndarray     # [3, H, W]
+    depth: jnp.ndarray     # [1, H, W]
+    normal: jnp.ndarray    # [3, H, W]
+    alpha: jnp.ndarray     # [1, H, W]
+    radii: jnp.ndarray     # [N] int32 (0 => culled/invisible)
+    extra: jnp.ndarray     # [1, H, W] accumulated extra_attrs
+
+
+def project_gaussians(cfg: RasterizeConfig, means3d, scales, rotations,
+                      viewmatrix, projmatrix, campos, tanfovx, tanfovy,
+                      active=None) -> Projected:
+    """Project Gaussians to screen space with EWA covariance.
+
+    ``viewmatrix``/``projmatrix`` are stored transposed (row-vector
+    convention, scene/cameras.py:61-63): p_view = [p,1] @ viewmatrix.
+    """
+    n = means3d.shape[0]
+    H, W = cfg.image_height, cfg.image_width
+    focal_x = W / (2.0 * tanfovx)
+    focal_y = H / (2.0 * tanfovy)
+
+    ones = jnp.ones((n, 1), means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], axis=-1)        # [N, 4]
+    p_view = hom @ viewmatrix[:, :3]                       # [N, 3]
+    p_hom = hom @ projmatrix                               # [N, 4]
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_proj = p_hom[:, :3] * p_w[:, None]
+
+    # ndc -> pixel: ((v + 1) * S - 1) * 0.5  (CUDA ndc2Pix)
+    px = ((p_proj[:, 0] + 1.0) * W - 1.0) * 0.5
+    py = ((p_proj[:, 1] + 1.0) * H - 1.0) * 0.5
+    tz = p_view[:, 2]
+
+    # 3-D covariance Sigma = R S S^T R^T
+    q = quat_normalize(rotations)
+    R = quat_to_rotmat(q)                                  # [N, 3, 3]
+    L = R * scales[:, None, :]
+    cov3d = L @ jnp.swapaxes(L, -1, -2)                    # [N, 3, 3]
+
+    # EWA projection: clamp view-space angles to 1.3 * fov
+    safe_tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    limx, limy = 1.3 * tanfovx, 1.3 * tanfovy
+    txz = jnp.clip(p_view[:, 0] / safe_tz, -limx, limx) * safe_tz
+    tyz = jnp.clip(p_view[:, 1] / safe_tz, -limy, limy) * safe_tz
+
+    z2 = safe_tz * safe_tz
+    # Jacobian of perspective projection (rows: d(px,py)/d(view xyz))
+    J = jnp.zeros((n, 2, 3), means3d.dtype)
+    J = J.at[:, 0, 0].set(focal_x / safe_tz)
+    J = J.at[:, 0, 2].set(-(focal_x * txz) / z2)
+    J = J.at[:, 1, 1].set(focal_y / safe_tz)
+    J = J.at[:, 1, 2].set(-(focal_y * tyz) / z2)
+
+    Wrot = viewmatrix[:3, :3].T                            # world->cam rotation
+    JW = jnp.einsum("nij,jk->nik", J, Wrot)                # [N, 2, 3]
+    cov2d = jnp.einsum("nij,njk,nlk->nil", JW, cov3d, JW)  # [N, 2, 2]
+    cov2d = cov2d.at[:, 0, 0].add(0.3)
+    cov2d = cov2d.at[:, 1, 1].add(0.3)
+
+    a, b, c = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+    det = a * c - b * b
+    det_safe = jnp.where(det <= 0, 1.0, det)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, 0.0)))
+
+    visible = (tz > cfg.depth_cull) & (det > 0) & (radius > 0)
+    if active is not None:
+        visible = visible & active
+
+    # Splat normal: shortest principal axis, oriented toward the camera,
+    # expressed in camera coordinates (diff_gauss depth/normal fork contract,
+    # SURVEY.md §2.4 — consumed by the sapiens normal-prior loss).
+    axis_id = jnp.argmin(scales, axis=-1)                  # [N]
+    n_world = jnp.take_along_axis(
+        R, axis_id[:, None, None].repeat(3, axis=1), axis=2)[:, :, 0]  # [N,3]
+    to_cam = campos[None, :] - means3d
+    sign = jnp.where(jnp.sum(n_world * to_cam, -1, keepdims=True) < 0, -1.0, 1.0)
+    n_world = n_world * sign
+    n_cam = n_world @ Wrot.T                                # [N, 3]
+
+    return Projected(px, py, tz, conic, radius, visible, n_cam)
+
+
+def _tile_select(cfg: RasterizeConfig, proj: Projected):
+    """Per-tile front-most-K selection.
+
+    Returns (ids [T, K] int32, valid [T, K] bool), sorted by ascending depth.
+    """
+    T, K, tile = cfg.num_tiles, cfg.max_per_tile, cfg.tile
+    tx_count = cfg.tiles_x
+
+    r = proj.radius
+    xmin, xmax = proj.px - r, proj.px + r
+    ymin, ymax = proj.py - r, proj.py + r
+
+    tile_ids = jnp.arange(T, dtype=jnp.int32)
+    chunk = cfg.tile_chunk
+    pad = (-T) % chunk
+    tile_ids = jnp.pad(tile_ids, (0, pad))
+    tile_ids = tile_ids.reshape(-1, chunk)
+
+    neg_depth = jnp.where(proj.visible, -proj.depth, -jnp.inf)
+
+    kk = min(K, proj.px.shape[0])
+
+    def select(tids):
+        ty = (tids // tx_count).astype(proj.px.dtype)
+        tx = (tids % tx_count).astype(proj.px.dtype)
+        x0, x1 = tx * tile, (tx + 1) * tile
+        y0, y1 = ty * tile, (ty + 1) * tile
+        hit = ((xmax[None, :] >= x0[:, None]) & (xmin[None, :] <= x1[:, None]) &
+               (ymax[None, :] >= y0[:, None]) & (ymin[None, :] <= y1[:, None]))
+        keys = jnp.where(hit, neg_depth[None, :], -jnp.inf)   # [chunk, N]
+        vals, idx = jax.lax.top_k(keys, kk)                   # descending => nearest first
+        if kk < K:
+            idx = jnp.pad(idx, ((0, 0), (0, K - kk)))
+            vals = jnp.pad(vals, ((0, 0), (0, K - kk)), constant_values=-jnp.inf)
+        return idx.astype(jnp.int32), vals > -jnp.inf
+
+    ids, valid = jax.lax.map(select, tile_ids)
+    return ids.reshape(-1, K)[:T], valid.reshape(-1, K)[:T]
+
+
+def rasterize(cfg: RasterizeConfig,
+              means3d: jnp.ndarray,
+              opacities: jnp.ndarray,
+              scales: jnp.ndarray,
+              rotations: jnp.ndarray,
+              viewmatrix: jnp.ndarray,
+              projmatrix: jnp.ndarray,
+              campos: jnp.ndarray,
+              tanfovx: float,
+              tanfovy: float,
+              bg: jnp.ndarray,
+              shs: jnp.ndarray | None = None,
+              sh_degree: int = 0,
+              colors_precomp: jnp.ndarray | None = None,
+              extra_attrs: jnp.ndarray | None = None,
+              means2d_offset: jnp.ndarray | None = None,
+              active: jnp.ndarray | None = None) -> RasterizeOutput:
+    """Rasterize N Gaussians to an image (SURVEY.md §2.4 contract).
+
+    Args:
+      cfg: static config (image size, tile, K).
+      means3d: [N, 3] world positions.
+      opacities: [N, 1] post-sigmoid opacity.
+      scales: [N, 3] post-softplus scales.
+      rotations: [N, 4] quaternions (normalized internally).
+      viewmatrix / projmatrix: [4, 4] transposed (row-vector) transforms.
+      campos: [3] camera center.
+      bg: [3] background color.
+      shs: [N, Ksh, 3] SH coefficients (deg<=3) — exclusive with colors_precomp.
+      sh_degree: static active SH degree.
+      colors_precomp: [N, 3] precomputed colors (attention-map path).
+      extra_attrs: [N, 1] extra channel, alpha-composited into ``extra``.
+      means2d_offset: [N, 2] zeros; gradients w.r.t. it are the *pixel-space*
+        position gradients used for densification stats (the reference's
+        screenspace_points trick, gaussian_renderer/__init__.py:47-52).
+      active: [N] bool liveness mask for padded capacity slots.
+
+    Returns RasterizeOutput; fully differentiable.
+    """
+    H, W, tile = cfg.image_height, cfg.image_width, cfg.tile
+    K = cfg.max_per_tile
+    opac = opacities.reshape(-1)
+
+    proj = project_gaussians(cfg, means3d, scales, rotations, viewmatrix,
+                             projmatrix, campos, tanfovx, tanfovy, active)
+    px, py = proj.px, proj.py
+    if means2d_offset is not None:
+        px = px + means2d_offset[:, 0]
+        py = py + means2d_offset[:, 1]
+
+    if colors_precomp is not None:
+        colors = colors_precomp
+    else:
+        dirs = means3d - campos[None, :]
+        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+        # shs: [N, Ksh, 3] -> eval expects [..., C, Ksh]
+        colors = eval_sh(sh_degree, jnp.swapaxes(shs, -1, -2), dirs)
+        colors = jnp.maximum(colors + 0.5, 0.0)
+
+    if extra_attrs is None:
+        extra_attrs = jnp.ones((means3d.shape[0],), means3d.dtype)
+    else:
+        extra_attrs = extra_attrs.reshape(-1)
+
+    ids, valid = _tile_select(cfg, proj)                    # [T, K]
+
+    # Per-gaussian packed features gathered per tile.
+    feats = jnp.concatenate([
+        px[:, None], py[:, None], proj.conic, opac[:, None],
+        colors, proj.depth[:, None], proj.normal_cam,
+        extra_attrs[:, None],
+    ], axis=-1)                                             # [N, 12]
+
+    tiles_x = cfg.tiles_x
+    chunk = cfg.tile_chunk
+    T = cfg.num_tiles
+    pad_t = (-T) % chunk
+
+    tile_idx = jnp.arange(T + pad_t, dtype=jnp.int32)
+    ids_p = jnp.pad(ids, ((0, pad_t), (0, 0)))
+    valid_p = jnp.pad(valid, ((0, pad_t), (0, 0)))
+
+    # In-tile pixel grid offsets [tile*tile, 2] (x, y)
+    oy, ox = jnp.meshgrid(jnp.arange(tile), jnp.arange(tile), indexing="ij")
+    pix_off = jnp.stack([ox.reshape(-1), oy.reshape(-1)], -1).astype(means3d.dtype)
+
+    def composite(args):
+        tids, gids, gvalid = args                           # [c], [c,K], [c,K]
+        f = feats[gids]                                     # [c, K, 12]
+        gx, gy = f[..., 0], f[..., 1]
+        A, B, C = f[..., 2], f[..., 3], f[..., 4]
+        gop = f[..., 5]
+        gcol = f[..., 6:9]
+        gdepth = f[..., 9]
+        gnorm = f[..., 10:13]
+        gextra = f[..., 13]
+
+        ty = (tids // tiles_x).astype(means3d.dtype)
+        tx = (tids % tiles_x).astype(means3d.dtype)
+        pxs = tx[:, None] * tile + pix_off[None, :, 0]      # [c, P]
+        pys = ty[:, None] * tile + pix_off[None, :, 1]
+
+        dx = pxs[:, :, None] - gx[:, None, :]               # [c, P, K]
+        dy = pys[:, :, None] - gy[:, None, :]
+        power = (-0.5 * (A[:, None, :] * dx * dx + C[:, None, :] * dy * dy)
+                 - B[:, None, :] * dx * dy)
+        alpha = jnp.minimum(0.99, gop[:, None, :] * jnp.exp(power))
+        ok = (power <= 0.0) & (alpha >= (1.0 / 255.0)) & gvalid[:, None, :]
+        alpha = jnp.where(ok, alpha, 0.0)
+
+        log_t = jnp.log1p(-alpha)                           # [c, P, K]
+        cum = jnp.cumsum(log_t, axis=-1)
+        t_incl = jnp.exp(cum)
+        t_excl = jnp.exp(cum - log_t)
+        contrib = t_incl >= 1e-4                            # prefix mask == CUDA early-exit
+        w = jnp.where(contrib, alpha * t_excl, 0.0)         # [c, P, K]
+
+        chan = jnp.concatenate([
+            gcol, gdepth[..., None], gnorm, gextra[..., None],
+        ], axis=-1)                                         # [c, K, 8]
+        acc = jnp.einsum("cpk,ckd->cpd", w, chan)           # MXU matmul
+        t_final = jnp.exp(jnp.sum(jnp.where(contrib, log_t, 0.0), axis=-1))
+        alpha_out = jnp.sum(w, axis=-1)
+        return acc, t_final, alpha_out                      # [c,P,8], [c,P], [c,P]
+
+    acc, t_final, alpha_out = jax.lax.map(
+        composite,
+        (tile_idx.reshape(-1, chunk), ids_p.reshape(-1, chunk, K),
+         valid_p.reshape(-1, chunk, K)))
+    P = tile * tile
+    acc = acc.reshape(-1, P, 8)[:T]
+    t_final = t_final.reshape(-1, P)[:T]
+    alpha_out = alpha_out.reshape(-1, P)[:T]
+
+    def to_image(flat, ch):
+        # [T, P, ch] -> [ch, H, W]
+        img = flat.reshape(cfg.tiles_y, cfg.tiles_x, tile, tile, ch)
+        img = img.transpose(4, 0, 2, 1, 3).reshape(ch, cfg.tiles_y * tile,
+                                                   cfg.tiles_x * tile)
+        return img[:, :H, :W]
+
+    image = to_image(acc[..., 0:3], 3) + to_image(t_final[..., None], 1) * bg[:, None, None]
+    depth = to_image(acc[..., 3:4], 1)
+    normal = to_image(acc[..., 4:7], 3)
+    extra = to_image(acc[..., 7:8], 1)
+    alpha_img = to_image(alpha_out[..., None], 1)
+
+    radii = jnp.where(proj.visible, proj.radius, 0.0).astype(jnp.int32)
+    return RasterizeOutput(image, depth, normal, alpha_img, radii, extra)

@@ -1,0 +1,82 @@
+"""Image losses: L1/L2, SSIM (11x11 Gaussian window), PSNR, patchify.
+
+Parity targets: reference utils/loss_utils.py:17-72 and utils/image_utils.py:10.
+Implemented with depthwise convs that XLA fuses well on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(x - y))
+
+
+def l2_loss(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((x - y) ** 2)
+
+
+def psnr(img: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """Per-image PSNR over flattened pixels (reference utils/image_utils.py:10)."""
+    mse = jnp.mean((img - gt) ** 2)
+    return 20 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
+def _gaussian_window(window_size: int, sigma: float) -> jnp.ndarray:
+    xs = jnp.arange(window_size, dtype=jnp.float32) - window_size // 2
+    g = jnp.exp(-(xs ** 2) / (2 * sigma ** 2))
+    return g / jnp.sum(g)
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM with an 11x11 sigma=1.5 separable Gaussian window.
+
+    Inputs are [C, H, W] in [0, 1] (reference utils/loss_utils.py:42-72,
+    which uses padded 'same' convolution).
+    """
+    g = _gaussian_window(window_size, 1.5)
+    kernel = jnp.outer(g, g)  # [K, K]
+
+    c = img1.shape[0]
+
+    def blur(x):
+        # depthwise 'same' conv: [C,H,W] -> [C,H,W]
+        lhs = x[None]  # [1, C, H, W]
+        rhs = jnp.tile(kernel[None, None], (c, 1, 1, 1))  # [C,1,K,K]
+        out = jax.lax.conv_general_dilated(
+            lhs, rhs, window_strides=(1, 1), padding="SAME",
+            feature_group_count=c,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return out[0]
+
+    mu1 = blur(img1)
+    mu2 = blur(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = blur(img1 * img1) - mu1_sq
+    sigma2_sq = blur(img2 * img2) - mu2_sq
+    sigma12 = blur(img1 * img2) - mu1_mu2
+
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+    return jnp.mean(ssim_map)
+
+
+def patchify(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """[C, H, W] -> [N, C, patch, patch] non-overlapping patches
+    (reference utils/loss_utils.py:22-24 uses stride=patch unfold)."""
+    c, h, w = x.shape
+    nh, nw = h // patch_size, w // patch_size
+    x = x[:, : nh * patch_size, : nw * patch_size]
+    x = x.reshape(c, nh, patch_size, nw, patch_size)
+    x = x.transpose(1, 3, 0, 2, 4).reshape(nh * nw, c, patch_size, patch_size)
+    return x
+
+
+def normalize_depth(depth: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Min-max normalize a depth map (reference utils/loss_utils.py:17-20)."""
+    lo, hi = jnp.min(depth), jnp.max(depth)
+    return (depth - lo) / (hi - lo + eps)
