@@ -1,0 +1,121 @@
+"""Configuration system: dataclass param groups + argparse + cfg persistence.
+
+Functional replacement for the reference's reflection-based ParamGroups
+(arguments/__init__.py:16-122) with identical defaults. Values persist to
+``cfg_args.json`` in the model directory and are merged back at inference
+(the reference's get_combined_args, :102-122).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from typing import Any
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Reference ModelParams (arguments/__init__.py:47-70)."""
+    sh_degree: int = 2
+    source_path: str = ""
+    model_path: str = ""
+    white_background: bool = False
+    eval: bool = False
+    audio: str = ""
+    init_num: int = 10_000
+    N_views: int = -1
+    audio_extractor: str = "deepspeech"
+    type: str = "face"        # "face" | "mouth"
+    preload: bool = True
+    all_for_train: bool = False
+    # TPU additions
+    capacity: int = 0         # 0 => auto (16x init_num, tiled to 1024)
+    max_per_tile: int = 256   # rasterizer per-tile splat budget
+
+    def resolve_capacity(self) -> int:
+        if self.capacity > 0:
+            return self.capacity
+        cap = max(self.init_num * 16, 16384)
+        return -(-cap // 1024) * 1024
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """Reference PipelineParams (arguments/__init__.py:72-77)."""
+    convert_SHs_python: bool = False
+    compute_cov3D_python: bool = False
+    debug: bool = False
+
+
+@dataclasses.dataclass
+class OptimizationConfig:
+    """Reference OptimizationParams (arguments/__init__.py:79-100)."""
+    iterations: int = 50_000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 45_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.003
+    rotation_lr: float = 0.001
+    identity_lr: float = 0.01
+    percent_dense: float = 0.005
+    lambda_dssim: float = 0.2
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 500
+    densify_until_iter: int = 45_000
+    densify_grad_threshold: float = 0.0002
+    random_background: bool = False
+
+
+def add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix="") -> None:
+    for f in dataclasses.fields(cls):
+        name = f"--{prefix}{f.name}"
+        if f.type == "bool" or f.type is bool:
+            parser.add_argument(name, action="store_true",
+                                default=f.default)
+        else:
+            parser.add_argument(name, type=type(f.default), default=f.default)
+
+
+def extract_dataclass(args: argparse.Namespace, cls, prefix=""):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        kwargs[f.name] = getattr(args, f"{prefix}{f.name}")
+    return cls(**kwargs)
+
+
+def make_parser(description: str) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=description)
+    add_dataclass_args(parser, ModelConfig)
+    add_dataclass_args(parser, PipelineConfig)
+    add_dataclass_args(parser, OptimizationConfig)
+    return parser
+
+
+def parse_all(parser: argparse.ArgumentParser, argv=None):
+    args = parser.parse_args(argv)
+    return (extract_dataclass(args, ModelConfig),
+            extract_dataclass(args, PipelineConfig),
+            extract_dataclass(args, OptimizationConfig), args)
+
+
+def save_cfg(model_path: str, model_cfg: ModelConfig) -> None:
+    """Persist the model config for train→infer round trips
+    (reference writes a repr'd Namespace; we use JSON)."""
+    os.makedirs(model_path, exist_ok=True)
+    with open(os.path.join(model_path, "cfg_args.json"), "w") as f:
+        json.dump(dataclasses.asdict(model_cfg), f, indent=2)
+
+
+def load_cfg(model_path: str, overrides: dict[str, Any] | None = None
+             ) -> ModelConfig:
+    with open(os.path.join(model_path, "cfg_args.json")) as f:
+        data = json.load(f)
+    if overrides:
+        data.update({k: v for k, v in overrides.items() if v is not None})
+    return ModelConfig(**data)

@@ -1,0 +1,228 @@
+"""Talking-head dataset reader: the reference's on-disk contract, NumPy-side.
+
+Parses the preprocessed per-video directory produced by the data pipeline
+(SURVEY.md §2.3; reference scene/dataset_readers.py:99-379):
+
+  transforms_{train,val}.json   focal_len + per-frame c2w + img_id
+  aud_ds/_eo/_hu.npy            audio features [T, 16, D] (or aud_ave.npy)
+  au.csv                        OpenFace action units (AU45 blink, AU25, exp)
+  ori_imgs/{id}.lms             68-pt landmarks -> lips/lower-half rects
+  gt_imgs/{id}.jpg              ground-truth frames
+  torso_imgs/{id}.png + bc.jpg  per-frame torso composite background
+  parsing/{id}.png              BiSeNet color-coded semantics
+  teeth_mask/{id}.npy           boolean teeth mask
+  sapiens/{depth,normal}/...    monocular geometry priors (train, few-shot)
+  points3d.ply                  random init point cloud
+
+Camera convention: NeRF c2w with OpenGL axes, flipped to COLMAP by negating
+the y/z columns (:206-213); matrices stored transposed for the rasterizer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import json
+import os
+
+import numpy as np
+
+from ..utils.graphics import focal2fov, world_to_view, projection_matrix
+from .audio import window_audio_features
+
+AUDIO_POSTFIX = {"deepspeech": "_ds", "esperanto": "_eo", "hubert": "_hu",
+                 "ave": "_ave"}
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    uid: int
+    img_id: int
+    width: int
+    height: int
+    fovx: float
+    fovy: float
+    view_transform: np.ndarray       # [4,4] transposed W2C
+    full_proj_transform: np.ndarray  # [4,4] transposed W2C @ P
+    camera_center: np.ndarray        # [3]
+    image: np.ndarray                # [H,W,3] uint8
+    bg: np.ndarray                   # [H,W,3] uint8 torso+bc composite
+    face_mask: np.ndarray            # [H,W] bool
+    hair_mask: np.ndarray
+    mouth_mask: np.ndarray
+    auds: np.ndarray                 # [8, D, 16] (or [8, 1, 512] for ave)
+    blink: float
+    au25: tuple                      # (value, p25, p50, p75, max)
+    au_exp: np.ndarray               # [6]
+    lips_rect: list                  # [xmin, xmax, ymin, ymax] (rows, cols)
+    lhalf_rect: list
+    mouth_bound: list                # [lb, ub, this-frame mouth opening]
+    normal: np.ndarray | None = None  # [H,W,3]
+    depth: np.ndarray | None = None   # [H,W]
+
+    @property
+    def tanfovx(self):
+        return float(np.tan(self.fovx / 2))
+
+    @property
+    def tanfovy(self):
+        return float(np.tan(self.fovy / 2))
+
+
+def _camera_matrices(c2w_gl: np.ndarray, fovx: float, fovy: float):
+    c2w = np.array(c2w_gl, dtype=np.float64)
+    c2w[:3, 1:3] *= -1  # OpenGL -> COLMAP
+    w2c = np.linalg.inv(c2w)
+    R = w2c[:3, :3].T
+    T = w2c[:3, 3]
+    view = world_to_view(R, T)
+    proj = projection_matrix(0.01, 100.0, fovx, fovy)
+    view_T = view.T.astype(np.float32)
+    full_T = (proj @ view).T.astype(np.float32)
+    campos = np.linalg.inv(view)[:3, 3].astype(np.float32)
+    return view_T, full_T, campos, R, T
+
+
+def load_frames(path: str, split: str = "train",
+                audio_extractor: str = "deepspeech", n_views: int = -1,
+                audio_file: str = "", preload: bool = True,
+                with_priors: bool | None = None) -> list[FrameRecord]:
+    """Read one split into FrameRecords (scene/dataset_readers.py:99-326)."""
+    tf = os.path.join(path, f"transforms_{split}.json")
+    with open(tf) as f:
+        contents = json.load(f)
+    focal = contents["focal_len"]
+    frames = contents["frames"]
+    if split == "train" and n_views > 0 and not audio_file:
+        frames = frames[:n_views]
+
+    # audio features: [T, 16, D] on disk -> [T, D, 16] windows
+    if audio_file:
+        aud = np.load(audio_file)
+    else:
+        aud = np.load(os.path.join(
+            path, f"aud{AUDIO_POSTFIX[audio_extractor]}.npy"))
+    aud = np.transpose(aud.astype(np.float32), (0, 2, 1))
+
+    if audio_file:
+        loop = aud.shape[0] // len(frames) + 1
+        frames = frames * loop
+
+    # OpenFace AUs
+    import pandas as pd
+    au = pd.read_csv(os.path.join(path, "au.csv"))
+    au_blink = au["AU45_r"].values
+    nv = len(frames) if (split == "train" and n_views > 0) else None
+    au25_raw = au["AU25_r"].values
+    au25 = np.clip(au25_raw[:nv], 0, np.percentile(au25_raw[:nv], 95))
+    au25_pcts = (np.percentile(au25, 25), np.percentile(au25, 50),
+                 np.percentile(au25, 75), au25.max())
+    exp_cols = []
+    for i in [1, 4, 5, 6, 7, 45]:
+        col = au[f"AU{i:02d}_r"].values
+        if i == 45:
+            col = col.clip(0, 2)
+        exp_cols.append(col[:, None])
+    au_exp = np.concatenate(exp_cols, axis=-1).astype(np.float32)
+
+    # landmark rects
+    lips_rects, mouth_opens, lhalf_rects = [], [], []
+    for frame in frames:
+        lms = np.loadtxt(os.path.join(path, "ori_imgs",
+                                      f"{frame['img_id']}.lms"))
+        lips, mouth = slice(48, 60), slice(60, 68)
+        xmin, xmax = int(lms[lips, 1].min()), int(lms[lips, 1].max())
+        ymin, ymax = int(lms[lips, 0].min()), int(lms[lips, 0].max())
+        lips_rects.append([xmin, xmax, ymin, ymax])
+        mouth_opens.append(int(lms[mouth, 1].max()) - int(lms[mouth, 1].min()))
+        lh_xmin = int(lms[31:36, 1].min())
+        lh_xmax = int(lms[:, 1].max())
+        lhalf_rects.append([lh_xmin, lh_xmax, int(lms[:, 0].min()),
+                            int(lms[:, 0].max())])
+    mouth_lb = min(mouth_opens)
+    mouth_ub = max(mouth_opens)
+
+    use_priors = (with_priors if with_priors is not None
+                  else (split == "train" and n_views > 0))
+    normal_dir = depth_dir = None
+    if use_priors:
+        nc = sorted(glob.glob(os.path.join(path, "sapiens/normal/sapiens_*")),
+                    reverse=True)
+        dc = sorted(glob.glob(os.path.join(path, "sapiens/depth/sapiens_*")),
+                    reverse=True)
+        if nc and dc:
+            normal_dir, depth_dir = nc[0], dc[0]
+
+    from PIL import Image
+
+    bc = np.array(Image.open(os.path.join(path, "bc.jpg")).convert("RGB"))
+
+    records = []
+    for idx, frame in enumerate(frames):
+        img_id = frame["img_id"]
+        image = np.array(Image.open(
+            os.path.join(path, "gt_imgs", f"{img_id}.jpg")).convert("RGB"))
+        h, w = image.shape[:2]
+        fovx, fovy = focal2fov(focal, w), focal2fov(focal, h)
+        view_T, full_T, campos, _, _ = _camera_matrices(
+            frame["transform_matrix"], fovx, fovy)
+
+        torso = np.array(Image.open(
+            os.path.join(path, "torso_imgs", f"{img_id}.png")).convert("RGBA")
+        ).astype(np.float32)
+        a = torso[..., 3:] / 255.0
+        bg = (torso[..., :3] * a + bc * (1 - a)).astype(np.uint8)
+
+        teeth = np.load(os.path.join(path, "teeth_mask", f"{img_id}.npy"))
+        parsing = np.array(Image.open(
+            os.path.join(path, "parsing", f"{img_id}.png")).convert("RGB")
+        ).astype(np.float32)
+        face_mask = ((parsing[:, :, 2] > 254) & (parsing[:, :, 0] == 0)
+                     & (parsing[:, :, 1] == 0)) ^ teeth
+        hair_mask = ((parsing[:, :, 0] < 1) & (parsing[:, :, 1] < 1)
+                     & (parsing[:, :, 2] < 1))
+        mouth_mask = ((parsing[:, :, 0] == 100) & (parsing[:, :, 1] == 100)
+                      & (parsing[:, :, 2] == 100)) | teeth
+
+        aud_idx = idx if audio_file else img_id
+        if aud_idx >= aud.shape[0]:
+            break
+        auds = window_audio_features(aud, aud_idx)
+
+        normal = depth = None
+        if normal_dir is not None:
+            normal = np.load(os.path.join(normal_dir, f"{img_id}.npy"))
+            depth = np.load(os.path.join(depth_dir, f"{img_id}.npy"))
+
+        records.append(FrameRecord(
+            uid=idx, img_id=img_id, width=w, height=h, fovx=fovx, fovy=fovy,
+            view_transform=view_T, full_proj_transform=full_T,
+            camera_center=campos, image=image, bg=bg, face_mask=face_mask,
+            hair_mask=hair_mask, mouth_mask=mouth_mask, auds=auds,
+            blink=float(np.clip(au_blink[img_id], 0, 2) / 2),
+            au25=(float(au25[min(img_id, len(au25) - 1)]),) + au25_pcts,
+            au_exp=au_exp[img_id], lips_rect=lips_rects[idx],
+            lhalf_rect=lhalf_rects[idx],
+            mouth_bound=[mouth_lb, mouth_ub, mouth_opens[idx]],
+            normal=normal, depth=depth))
+    return records
+
+
+def scene_extent(records: list[FrameRecord]) -> tuple[np.ndarray, float]:
+    """NeRF++-style normalization: center + 1.1 × max camera distance
+    (scene/dataset_readers.py:50-73)."""
+    centers = np.stack([r.camera_center for r in records])
+    center = centers.mean(axis=0)
+    radius = float(np.linalg.norm(centers - center, axis=1).max() * 1.1)
+    return center, radius
+
+
+def random_init_points(num: int, seed: int = 0):
+    """Random init cloud in the [-0.1, 0.1]^3 cube with near-black colors
+    (scene/dataset_readers.py:347-363: SH2RGB(rand/255))."""
+    from ..utils.sh import C0
+    rng = np.random.default_rng(seed)
+    xyz = (rng.random((num, 3)) * 0.2 - 0.1).astype(np.float32)
+    shs = rng.random((num, 3)).astype(np.float32) / 255.0
+    colors = shs * C0 + 0.5
+    return xyz, colors

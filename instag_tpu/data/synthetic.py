@@ -1,0 +1,157 @@
+"""Synthetic talking-head dataset generator, in the reference on-disk format.
+
+Writes a complete preprocessed-video directory (transforms json, gt/torso
+images, parsing PNGs, teeth masks, landmarks, au.csv, audio features, bc.jpg)
+so the real dataset reader, trainers, and end-to-end tests run without any
+external preprocessing models. The "head" is a deterministic colored blob
+whose mouth region oscillates with the synthetic audio track.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def generate_scene(path: str, n_frames: int = 20, size: int = 128,
+                   audio_extractor: str = "deepspeech", seed: int = 0,
+                   n_val: int = 4) -> None:
+    os.makedirs(path, exist_ok=True)
+    for sub in ["gt_imgs", "torso_imgs", "parsing", "teeth_mask", "ori_imgs"]:
+        os.makedirs(os.path.join(path, sub), exist_ok=True)
+
+    rng = np.random.default_rng(seed)
+    from PIL import Image
+
+    h = w = size
+    focal = size * 2.0
+
+    # background
+    bc = np.full((h, w, 3), (40, 80, 120), np.uint8)
+    Image.fromarray(bc).save(os.path.join(path, "bc.jpg"))
+
+    total = n_frames + n_val
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    frames_meta = []
+    for i in range(total):
+        phase = np.sin(2 * np.pi * i / 10.0)
+        cx, cy = w / 2 + 3 * np.cos(i / 5.0), h / 2 + 2 * np.sin(i / 7.0)
+        r_head = size * 0.28
+
+        d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
+        head = d < r_head
+        # mouth: small ellipse below center whose height follows "audio"
+        mh = size * 0.03 * (1.2 + phase)
+        mouth = (((xx - cx) / (size * 0.08)) ** 2 +
+                 ((yy - (cy + r_head * 0.45)) / max(mh, 1e-3)) ** 2) < 1.0
+        hair = (d < r_head * 1.15) & (yy < cy - r_head * 0.5)
+
+        img = bc.copy()
+        img[head] = (200, 160, 140)
+        img[mouth] = (120, 40, 40)
+        img[hair] = (30, 20, 10)
+        Image.fromarray(img).save(os.path.join(path, "gt_imgs", f"{i}.jpg"),
+                                  quality=95)
+
+        # torso: translucent rectangle at the bottom
+        torso = np.zeros((h, w, 4), np.uint8)
+        torso[int(h * 0.85):, :, :3] = (90, 90, 110)
+        torso[int(h * 0.85):, :, 3] = 255
+        Image.fromarray(torso).save(os.path.join(path, "torso_imgs", f"{i}.png"))
+
+        # parsing: blue=face(255 in B), black=hair, gray-100=mouth
+        parsing = np.zeros((h, w, 3), np.uint8)
+        parsing[head] = (0, 0, 255)
+        parsing[mouth] = (100, 100, 100)
+        parsing[hair] = (0, 0, 0)
+        # non-head region: white background class
+        parsing[~(head | hair)] = (255, 255, 255)
+        parsing[mouth] = (100, 100, 100)
+        Image.fromarray(parsing).save(os.path.join(path, "parsing", f"{i}.png"))
+
+        teeth = np.zeros((h, w), bool)
+        teeth[int(cy + r_head * 0.40): int(cy + r_head * 0.43),
+              int(cx - size * 0.04): int(cx + size * 0.04)] = True
+        np.save(os.path.join(path, "teeth_mask", f"{i}.npy"), teeth)
+
+        # 68 landmarks: synthesize a plausible layout (cols=x=lms[:,0],
+        # rows=y=lms[:,1] per the reference indexing)
+        lms = np.zeros((68, 2), np.float32)
+        ang = np.linspace(0, np.pi, 17)
+        lms[0:17, 0] = cx - r_head * np.cos(ang)          # jaw x
+        lms[0:17, 1] = cy + r_head * 0.8 * np.sin(ang)    # jaw y
+        lms[17:27, 0] = np.linspace(cx - r_head * .6, cx + r_head * .6, 10)
+        lms[17:27, 1] = cy - r_head * 0.5
+        lms[27:31, 0] = cx
+        lms[27:31, 1] = np.linspace(cy - r_head * .2, cy + r_head * .1, 4)
+        lms[31:36, 0] = np.linspace(cx - 6, cx + 6, 5)
+        lms[31:36, 1] = cy + r_head * 0.15
+        for k, (ex, sign) in enumerate([(cx - r_head * .35, 1),
+                                        (cx + r_head * .35, -1)]):
+            a2 = np.linspace(0, 2 * np.pi, 6, endpoint=False)
+            lms[36 + 6 * k: 42 + 6 * k, 0] = ex + 5 * np.cos(a2)
+            lms[36 + 6 * k: 42 + 6 * k, 1] = cy - r_head * .2 + 3 * np.sin(a2)
+        mouth_cy = cy + r_head * 0.45
+        a3 = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+        lms[48:60, 0] = cx + size * 0.09 * np.cos(a3)
+        lms[48:60, 1] = mouth_cy + (mh + 2) * np.sin(a3)
+        a4 = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+        lms[60:68, 0] = cx + size * 0.06 * np.cos(a4)
+        lms[60:68, 1] = mouth_cy + mh * np.sin(a4)
+        np.savetxt(os.path.join(path, "ori_imgs", f"{i}.lms"), lms, "%.2f")
+
+        # circular camera orbit looking at origin from +z (OpenGL convention:
+        # camera looks down its -z; the reader flips to COLMAP)
+        theta = 0.15 * np.sin(2 * np.pi * i / total)
+        phi = 0.1 * np.cos(2 * np.pi * i / total)
+        radius = 10.0 / 3.0
+        eye = np.array([radius * np.sin(theta),
+                        radius * np.sin(phi),
+                        radius * np.cos(theta) * np.cos(phi)])
+        forward = -eye / np.linalg.norm(eye)          # toward origin
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(forward, up); right /= np.linalg.norm(right)
+        up2 = np.cross(right, forward)
+        c2w = np.eye(4)
+        c2w[:3, 0] = right
+        c2w[:3, 1] = up2
+        c2w[:3, 2] = -forward   # OpenGL: z back
+        c2w[:3, 3] = eye
+        frames_meta.append({"img_id": i,
+                            "transform_matrix": c2w.tolist()})
+
+    with open(os.path.join(path, "transforms_train.json"), "w") as f:
+        json.dump({"focal_len": focal, "frames": frames_meta[:n_frames]}, f)
+    with open(os.path.join(path, "transforms_val.json"), "w") as f:
+        json.dump({"focal_len": focal, "frames": frames_meta[n_frames:]}, f)
+
+    # audio features [T, 16, D]
+    dims = {"deepspeech": 29, "esperanto": 44, "hubert": 1024, "ave": 512}
+    d = dims[audio_extractor]
+    t = np.arange(total, dtype=np.float32)
+    base = np.sin(2 * np.pi * t / 10.0)
+    aud = (base[:, None, None]
+           * rng.normal(size=(1, 16, d)).astype(np.float32)
+           + 0.05 * rng.normal(size=(total, 16, d)).astype(np.float32))
+    postfix = {"deepspeech": "_ds", "esperanto": "_eo", "hubert": "_hu",
+               "ave": "_ave"}[audio_extractor]
+    np.save(os.path.join(path, f"aud{postfix}.npy"), aud)
+
+    # au.csv with the OpenFace columns the reader needs
+    import pandas as pd
+    cols = {}
+    for i_au in [1, 4, 5, 6, 7, 25, 45]:
+        cols[f"AU{i_au:02d}_r"] = np.abs(
+            rng.normal(0.5, 0.3, total)).astype(np.float32)
+    cols["AU25_r"] = (1.2 + np.sin(2 * np.pi * t / 10.0)).astype(np.float32)
+    pd.DataFrame(cols).to_csv(os.path.join(path, "au.csv"), index=False)
+
+    # random init point cloud
+    from .dataset import random_init_points
+    from .plyio import write_point_cloud
+    xyz, colors = random_init_points(1000, seed)
+    write_point_cloud(os.path.join(path, "points3d.ply"), xyz,
+                      (colors * 255).astype(np.uint8))

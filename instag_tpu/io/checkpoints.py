@@ -1,0 +1,111 @@
+"""Checkpoint & PLY export/import for Gaussian states and training bundles.
+
+Three artifact families, mirroring the reference (SURVEY.md §5.4):
+  (a) training checkpoints — here one orbax/msgpack-style .npz bundle per
+      branch containing the Gaussian state, its Adam moments, the motion-net
+      params and their optimizer states, and the iteration;
+  (b) PLY point-cloud snapshots with the vanilla-3DGS attribute layout
+      (scene/gaussian_model.py:429-460: x,y,z,nx,ny,nz,f_dc_*,f_rest_*,
+      opacity,scale_*,rot_*);
+  (c) cfg_args.json (handled in config.py).
+
+The fixed-capacity padded state serializes compactly: only alive slots are
+written; loading re-pads to any requested capacity.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.plyio import read_ply, write_ply
+from ..models.gaussians import GaussianParams, GaussianState
+
+
+def save_gaussian_ply(path: str, state: GaussianState) -> None:
+    """Write alive slots in the reference PLY attribute layout."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    alive = np.asarray(state.alive)
+    p = jax.tree.map(lambda x: np.asarray(x)[alive], state.params)
+    n = p.xyz.shape[0]
+
+    names = ["x", "y", "z", "nx", "ny", "nz"]
+    cols = [p.xyz[:, 0], p.xyz[:, 1], p.xyz[:, 2],
+            np.zeros(n, np.float32), np.zeros(n, np.float32),
+            np.zeros(n, np.float32)]
+    # f_dc: [N,1,3] -> channel-major flatten (transpose(1,2) in reference)
+    f_dc = p.features_dc.transpose(0, 2, 1).reshape(n, -1)
+    for i in range(f_dc.shape[1]):
+        names.append(f"f_dc_{i}")
+        cols.append(f_dc[:, i].astype(np.float32))
+    f_rest = p.features_rest.transpose(0, 2, 1).reshape(n, -1)
+    for i in range(f_rest.shape[1]):
+        names.append(f"f_rest_{i}")
+        cols.append(f_rest[:, i].astype(np.float32))
+    names.append("opacity")
+    cols.append(p.opacity[:, 0].astype(np.float32))
+    for i in range(3):
+        names.append(f"scale_{i}")
+        cols.append(p.scaling[:, i].astype(np.float32))
+    for i in range(4):
+        names.append(f"rot_{i}")
+        cols.append(p.rotation[:, i].astype(np.float32))
+    write_ply(path, names, [np.ascontiguousarray(c) for c in cols])
+
+
+def load_gaussian_ply(path: str, capacity: int,
+                      max_sh_degree: int = 2) -> GaussianState:
+    """Read a reference-layout PLY into a padded GaussianState
+    (scene/gaussian_model.py:486-527)."""
+    d = read_ply(path)
+    n = d["x"].shape[0]
+    assert n <= capacity, f"PLY has {n} points > capacity {capacity}"
+    rest_k = (max_sh_degree + 1) ** 2 - 1
+
+    xyz = np.stack([d["x"], d["y"], d["z"]], 1).astype(np.float32)
+    f_dc = np.stack([d[f"f_dc_{i}"] for i in range(3)], 1).astype(np.float32)
+    f_dc = f_dc.reshape(n, 3, 1).transpose(0, 2, 1)
+    rest_names = sorted([k for k in d if k.startswith("f_rest_")],
+                        key=lambda s: int(s.split("_")[-1]))
+    if rest_names:
+        fr = np.stack([d[k] for k in rest_names], 1).astype(np.float32)
+        fr = fr.reshape(n, 3, rest_k).transpose(0, 2, 1)
+    else:
+        fr = np.zeros((n, rest_k, 3), np.float32)
+    scaling = np.stack([d[f"scale_{i}"] for i in range(3)], 1).astype(np.float32)
+    rotation = np.stack([d[f"rot_{i}"] for i in range(4)], 1).astype(np.float32)
+    opacity = d["opacity"].reshape(n, 1).astype(np.float32)
+
+    def pad(x):
+        return jnp.asarray(np.pad(x, [(0, capacity - n)] + [(0, 0)] * (x.ndim - 1)))
+
+    params = GaussianParams(
+        xyz=pad(xyz), features_dc=pad(f_dc), features_rest=pad(fr),
+        identity=pad(np.zeros((n, 1), np.float32)), scaling=pad(scaling),
+        rotation=pad(rotation), opacity=pad(opacity))
+    return GaussianState(
+        params=params, alive=jnp.arange(capacity) < n,
+        max_radii2d=jnp.zeros((capacity,), jnp.float32),
+        xyz_grad_accum=jnp.zeros((capacity,), jnp.float32),
+        denom=jnp.zeros((capacity,), jnp.float32),
+        active_sh_degree=jnp.int32(max_sh_degree),
+        spatial_lr_scale=1.0, max_sh_degree=max_sh_degree)
+
+
+def save_bundle(path: str, bundle: dict) -> None:
+    """Save a pytree-of-arrays training bundle (np-ified pickle)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host = jax.tree.map(lambda x: np.asarray(x)
+                        if isinstance(x, (jnp.ndarray, np.ndarray)) else x,
+                        bundle)
+    with open(path, "wb") as f:
+        pickle.dump(host, f, protocol=4)
+
+
+def load_bundle(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)

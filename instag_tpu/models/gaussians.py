@@ -1,0 +1,314 @@
+"""Gaussian point-cloud state: fixed-capacity pytree + functional densification.
+
+TPU-native re-design of the reference GaussianModel (scene/gaussian_model.py):
+instead of dynamically growing/shrinking tensors with Adam-state surgery
+(:544-601), the cloud lives in a *fixed-capacity* padded pytree with an
+``alive`` mask. Densify/clone/split/prune become masked scatter writes into
+free slots — everything is static-shaped and jit-compatible, so the whole
+densification step runs on-device.
+
+Behavioral parity notes:
+
+  * activations: **softplus** scaling (not exp — :43-44), sigmoid opacity
+    (:48), L2-normalized quaternion (:51).
+  * init: colors → SH DC via RGB2SH; log-scales from mean 3-NN distance
+    (:246-254); opacity 0.1 via inverse sigmoid (:276); identity quat.
+  * clone: grad-norm >= threshold and max scale <= percent_dense·extent
+    (:651-665); copies the point verbatim.
+  * split: grad >= threshold and max scale > percent_dense·extent; N=2
+    children sampled from the parent Gaussian, scales divided by 1.6,
+    parent pruned (:625-649).
+  * prune: opacity < min_opacity, plus world-size > 0.1·extent when
+    max_screen_size is set. The reference zeroes ``max_radii2D`` inside
+    densification_postfix *before* its screen-size check runs (:623,676),
+    so the vs-prune never fires within densify_and_prune — we reproduce
+    that exact behavior by checking against the freshly-zeroed stats.
+  * densification stats: accumulate ||pixel-space position grad|| per
+    visible Gaussian (:683-685).
+  * Adam (eps 1e-15, :403) with per-attribute learning rates and moment
+    zeroing for fresh slots — replaces the named-param-group surgery.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.knn import mean_knn_dist2
+from ..utils.general import inverse_sigmoid, quat_to_rotmat
+from ..utils.sh import rgb2sh
+
+
+def softplus(x):
+    return jax.nn.softplus(x)
+
+
+def softplus_inverse(y):
+    # y + log(-expm1(-y)) (reference scene/gaussian_model.py:44)
+    return y + jnp.log(-jnp.expm1(-y))
+
+
+@struct.dataclass
+class GaussianParams:
+    """Trainable per-point attributes, padded to capacity C."""
+    xyz: jnp.ndarray            # [C, 3]
+    features_dc: jnp.ndarray    # [C, 1, 3]
+    features_rest: jnp.ndarray  # [C, (D+1)^2-1, 3]
+    identity: jnp.ndarray       # [C, 1]
+    scaling: jnp.ndarray        # [C, 3]  (pre-softplus)
+    rotation: jnp.ndarray       # [C, 4]  (pre-normalize)
+    opacity: jnp.ndarray        # [C, 1]  (pre-sigmoid)
+
+
+@struct.dataclass
+class GaussianState:
+    params: GaussianParams
+    alive: jnp.ndarray            # [C] bool
+    max_radii2d: jnp.ndarray      # [C] f32
+    xyz_grad_accum: jnp.ndarray   # [C] f32
+    denom: jnp.ndarray            # [C] f32
+    active_sh_degree: jnp.ndarray  # scalar int32
+    spatial_lr_scale: float = struct.field(pytree_node=False, default=1.0)
+    max_sh_degree: int = struct.field(pytree_node=False, default=2)
+
+    # -- activated views ----------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self.params.xyz.shape[0]
+
+    def get_scaling(self):
+        return softplus(self.params.scaling)
+
+    def get_opacity(self):
+        return jax.nn.sigmoid(self.params.opacity)
+
+    def get_rotation(self):
+        q = self.params.rotation
+        return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+
+    def get_features(self):
+        return jnp.concatenate([self.params.features_dc,
+                                self.params.features_rest], axis=1)
+
+    def num_alive(self):
+        return jnp.sum(self.alive)
+
+
+@struct.dataclass
+class AdamState:
+    mu: GaussianParams
+    nu: GaussianParams
+    step: jnp.ndarray  # scalar int32
+
+
+def create_from_points(points: jnp.ndarray, colors: jnp.ndarray,
+                       capacity: int, max_sh_degree: int = 2,
+                       spatial_lr_scale: float = 1.0) -> GaussianState:
+    """Initialize a cloud from N points/colors into a capacity-C state
+    (reference create_from_pcd, scene/gaussian_model.py:206-335)."""
+    n = points.shape[0]
+    assert n <= capacity
+    rest_k = (max_sh_degree + 1) ** 2 - 1
+
+    dist2 = jnp.maximum(mean_knn_dist2(points), 1e-7)
+    scales = jnp.log(jnp.sqrt(dist2))[:, None].repeat(3, axis=1)
+
+    def pad(x, fill=0.0):
+        widths = [(0, capacity - n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    params = GaussianParams(
+        xyz=pad(points.astype(jnp.float32)),
+        features_dc=pad(rgb2sh(colors.astype(jnp.float32))[:, None, :]),
+        features_rest=pad(jnp.zeros((n, rest_k, 3), jnp.float32)),
+        identity=pad(jnp.zeros((n, 1), jnp.float32)),
+        scaling=pad(scales.astype(jnp.float32)),
+        rotation=pad(jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (n, 1))),
+        opacity=pad(inverse_sigmoid(0.1 * jnp.ones((n, 1), jnp.float32))),
+    )
+    alive = jnp.arange(capacity) < n
+    return GaussianState(params=params, alive=alive,
+                         max_radii2d=jnp.zeros((capacity,), jnp.float32),
+                         xyz_grad_accum=jnp.zeros((capacity,), jnp.float32),
+                         denom=jnp.zeros((capacity,), jnp.float32),
+                         active_sh_degree=jnp.int32(0),
+                         spatial_lr_scale=spatial_lr_scale,
+                         max_sh_degree=max_sh_degree)
+
+
+def one_up_sh_degree(state: GaussianState) -> GaussianState:
+    return state.replace(active_sh_degree=jnp.minimum(
+        state.active_sh_degree + 1, state.max_sh_degree))
+
+
+# --------------------------------------------------------------------------
+# Per-attribute Adam (eps 1e-15), replacing named param-group surgery.
+# --------------------------------------------------------------------------
+
+def adam_init(params: GaussianParams) -> AdamState:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),
+                     step=jnp.int32(0))
+
+
+def adam_update(params: GaussianParams, grads: GaussianParams,
+                opt: AdamState, lrs: dict[str, Any], alive: jnp.ndarray,
+                b1: float = 0.9, b2: float = 0.999,
+                eps: float = 1e-15) -> tuple[GaussianParams, AdamState]:
+    """One masked Adam step. ``lrs`` maps attribute name -> scalar LR
+    (mirrors reference scene/gaussian_model.py:369-403 group LRs)."""
+    step = opt.step + 1
+    t = step.astype(jnp.float32)
+    c1 = 1.0 - b1 ** t
+    c2 = 1.0 - b2 ** t
+
+    new_p, new_mu, new_nu = {}, {}, {}
+    for name in params.__dataclass_fields__:
+        p = getattr(params, name)
+        g = getattr(grads, name)
+        mu = b1 * getattr(opt.mu, name) + (1 - b1) * g
+        nu = b2 * getattr(opt.nu, name) + (1 - b2) * g * g
+        upd = lrs[name] * (mu / c1) / (jnp.sqrt(nu / c2) + eps)
+        mask = alive.reshape((-1,) + (1,) * (p.ndim - 1))
+        new_p[name] = jnp.where(mask, p - upd, p)
+        new_mu[name] = mu
+        new_nu[name] = nu
+    return (GaussianParams(**new_p),
+            AdamState(mu=GaussianParams(**new_mu),
+                      nu=GaussianParams(**new_nu), step=step))
+
+
+def _zero_moments_at(opt: AdamState, where: jnp.ndarray) -> AdamState:
+    """Zero Adam moments for slots in ``where`` mask (fresh/replaced points,
+    reference :534-535, :589-590)."""
+    def z(x):
+        mask = where.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(mask, 0.0, x)
+    return opt.replace(mu=jax.tree.map(z, opt.mu), nu=jax.tree.map(z, opt.nu))
+
+
+def _zero_moments_field(opt: AdamState, name: str) -> AdamState:
+    mu = opt.mu.replace(**{name: jnp.zeros_like(getattr(opt.mu, name))})
+    nu = opt.nu.replace(**{name: jnp.zeros_like(getattr(opt.nu, name))})
+    return opt.replace(mu=mu, nu=nu)
+
+
+# --------------------------------------------------------------------------
+# Densification / pruning as masked slot allocation.
+# --------------------------------------------------------------------------
+
+def add_densification_stats(state: GaussianState, means2d_grad: jnp.ndarray,
+                            visible: jnp.ndarray) -> GaussianState:
+    """accum += ||pixel grad||, denom += 1 for visible points (:683-685)."""
+    norm = jnp.linalg.norm(means2d_grad[:, :2], axis=-1)
+    upd = visible & state.alive
+    return state.replace(
+        xyz_grad_accum=state.xyz_grad_accum + jnp.where(upd, norm, 0.0),
+        denom=state.denom + jnp.where(upd, 1.0, 0.0))
+
+
+def update_max_radii(state: GaussianState, radii: jnp.ndarray,
+                     visible: jnp.ndarray) -> GaussianState:
+    """Track per-point max screen radius between densifications (the
+    trainers do this every iteration)."""
+    r = jnp.maximum(state.max_radii2d, radii.astype(jnp.float32))
+    return state.replace(max_radii2d=jnp.where(visible, r, state.max_radii2d))
+
+
+def _allocate(alive: jnp.ndarray, want: jnp.ndarray) -> jnp.ndarray:
+    """Assign each wanted child (mask over candidate list) a free slot.
+
+    Returns dest indices [len(want)] with capacity (=OOB, dropped) where no
+    slot is available or the candidate is unwanted.
+    """
+    cap = alive.shape[0]
+    free_list = jnp.argsort(alive)         # dead slots first (stable)
+    num_free = jnp.sum(~alive)
+    rank = jnp.cumsum(want) - 1            # per-candidate free-list rank
+    ok = want & (rank < num_free)
+    dest = jnp.where(ok, free_list[jnp.clip(rank, 0, cap - 1)], cap)
+    return dest
+
+
+def _scatter_children(params: GaussianParams, child: GaussianParams,
+                      dest: jnp.ndarray) -> GaussianParams:
+    out = {}
+    for name in params.__dataclass_fields__:
+        p = getattr(params, name)
+        c = getattr(child, name)
+        out[name] = p.at[dest].set(c, mode="drop")
+    return GaussianParams(**out)
+
+
+def densify_and_prune(state: GaussianState, opt: AdamState, key: jax.Array,
+                      max_grad: float, min_opacity: float, extent: float,
+                      max_screen_size: float | None, percent_dense: float
+                      ) -> tuple[GaussianState, AdamState]:
+    """Clone + split + prune, all static-shape (reference :625-681)."""
+    p = state.params
+    cap = state.capacity
+    grads = jnp.where(state.denom > 0, state.xyz_grad_accum / state.denom, 0.0)
+    scal = softplus(p.scaling)
+    max_scale = jnp.max(scal, axis=-1)
+
+    # ---- clone: small high-grad points copied verbatim (:651-665)
+    sel_clone = (grads >= max_grad) & (max_scale <= percent_dense * extent) & state.alive
+    dest_c = _allocate(state.alive, sel_clone)
+    params = _scatter_children(p, p, dest_c)
+    alive = state.alive.at[dest_c].set(True, mode="drop")
+    opt = _zero_moments_at(opt, jnp.zeros((cap,), bool).at[dest_c].set(True, mode="drop"))
+
+    # ---- split: large high-grad points -> 2 resampled children (:625-649)
+    sel_split = (grads >= max_grad) & (max_scale > percent_dense * extent) & state.alive
+    R = quat_to_rotmat(p.rotation / jnp.maximum(
+        jnp.linalg.norm(p.rotation, axis=-1, keepdims=True), 1e-12))
+    new_scaling = softplus_inverse(jnp.maximum(scal / (0.8 * 2), 1e-6))
+
+    for j in range(2):
+        key, sub = jax.random.split(key)
+        samples = jax.random.normal(sub, p.xyz.shape) * scal   # N(0, scale)
+        child_xyz = jnp.einsum("nij,nj->ni", R, samples) + p.xyz
+        child = GaussianParams(
+            xyz=child_xyz, features_dc=p.features_dc,
+            features_rest=p.features_rest, identity=p.identity,
+            scaling=new_scaling, rotation=p.rotation, opacity=p.opacity)
+        dest_s = _allocate(alive, sel_split)
+        params = _scatter_children(params, child, dest_s)
+        alive = alive.at[dest_s].set(True, mode="drop")
+        opt = _zero_moments_at(opt, jnp.zeros((cap,), bool).at[dest_s].set(True, mode="drop"))
+    alive = alive & ~sel_split  # split parents die
+
+    # ---- prune (:667-679). max_radii2d was reset by the postfix before the
+    # reference's screen-size check, so vs-prune is inert by construction.
+    opac = jax.nn.sigmoid(params.opacity)[:, 0]
+    prune = opac < min_opacity
+    if max_screen_size is not None:
+        big_ws = jnp.max(softplus(params.scaling), axis=-1) > 0.1 * extent
+        prune = prune | big_ws
+    alive = alive & ~prune
+
+    new_state = state.replace(
+        params=params, alive=alive,
+        max_radii2d=jnp.zeros((cap,), jnp.float32),
+        xyz_grad_accum=jnp.zeros((cap,), jnp.float32),
+        denom=jnp.zeros((cap,), jnp.float32))
+    return new_state, opt
+
+
+def prune_mask(state: GaussianState, opt: AdamState,
+               mask: jnp.ndarray) -> tuple[GaussianState, AdamState]:
+    """Kill points where mask is True (trainer-side green/depth pruning,
+    e.g. train_face.py:764-778)."""
+    return state.replace(alive=state.alive & ~mask), opt
+
+
+def reset_opacity(state: GaussianState, opt: AdamState
+                  ) -> tuple[GaussianState, AdamState]:
+    """Clamp opacity to <= 0.01 and zero its Adam moments (:481-484)."""
+    new_op = inverse_sigmoid(jnp.minimum(jax.nn.sigmoid(state.params.opacity),
+                                         0.01))
+    params = state.params.replace(opacity=new_op)
+    return state.replace(params=params), _zero_moments_field(opt, "opacity")

@@ -1,0 +1,237 @@
+"""Render paths: static, face-motion, and mouth-motion (conditioned on face).
+
+Functional equivalents of the reference's three renderers
+(gaussian_renderer/__init__.py:37-133 ``render``, :151-298 ``render_motion``,
+:302-435 ``render_motion_mouth_con``), driving the Pallas/JAX rasterizer.
+All three compile into a single jitted graph together with the motion nets.
+
+Notable conventions preserved:
+  * deltas compose as UMF + PMF: ``d += p_d``; ``xyz += p_xyz`` (align);
+    ``d_xyz *= p_scale`` (align) (:195-226).
+  * scales activate as softplus(raw + d_scale); rotations normalize(raw + d_rot);
+    opacity ignores d_opa (commented out in the reference, :229-235).
+  * attention maps render with detached geometry and
+    colors = [ambient_aud, ambient_eye, 0] (:253-283).
+  * mouth path: face UMF runs with zeroed expression; move feature =
+    [kth-largest, kth-smallest, range] of face d_xyz.y × 1e2, stop-gradient
+    (:352-377); mouth uses raw rotations/scales (:402-404).
+
+The traced ``active_sh_degree`` is handled by masking SH coefficients above
+the active degree to zero and always evaluating at the static max degree —
+identical output, no recompilation per warmup step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .models.gaussians import GaussianState
+from .ops.rasterize import RasterizeConfig, RasterizeOutput, rasterize
+
+
+@struct.dataclass
+class Camera:
+    """Per-frame camera + conditioning signals (reference scene/cameras.py:17-64
+    plus the talking_dict fields consumed by the renderers)."""
+    view_transform: jnp.ndarray    # [4,4] transposed world->view
+    full_proj_transform: jnp.ndarray  # [4,4] transposed world->ndc
+    camera_center: jnp.ndarray     # [3]
+    tanfovx: jnp.ndarray           # scalar
+    tanfovy: jnp.ndarray           # scalar
+
+
+def _sh_degree_mask(active_degree, max_degree: int):
+    """[K] 0/1 mask keeping coefficients of degree <= active."""
+    k = (max_degree + 1) ** 2
+    idx = jnp.arange(k)
+    deg = jnp.floor(jnp.sqrt(idx.astype(jnp.float32))).astype(jnp.int32)
+    return (deg <= active_degree).astype(jnp.float32)
+
+
+def _masked_features(state: GaussianState):
+    feats = state.get_features()
+    mask = _sh_degree_mask(state.active_sh_degree, state.max_sh_degree)
+    return feats * mask[None, :, None]
+
+
+def render(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
+           bg: jnp.ndarray, override_color: jnp.ndarray | None = None,
+           means2d_offset: jnp.ndarray | None = None) -> RasterizeOutput:
+    """Static render (no deformation) — reference ``render`` (:37-133)."""
+    kwargs = {}
+    if override_color is not None:
+        kwargs["colors_precomp"] = override_color
+    else:
+        kwargs["shs"] = _masked_features(state)
+        kwargs["sh_degree"] = state.max_sh_degree
+    return rasterize(
+        cfg, state.params.xyz, state.get_opacity(), state.get_scaling(),
+        state.get_rotation(), cam.view_transform, cam.full_proj_transform,
+        cam.camera_center, cam.tanfovx, cam.tanfovy, bg,
+        means2d_offset=means2d_offset, active=state.alive, **kwargs)
+
+
+class MotionRender(NamedTuple):
+    out: RasterizeOutput
+    motion: dict[str, Any]
+    p_motion: dict[str, Any] | None
+    attn: jnp.ndarray | None       # [3, H, W] UMF attention map
+    p_attn: jnp.ndarray | None     # [3, H, W] PMF attention map
+
+
+def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
+                  umf: Callable[..., dict], aud: jnp.ndarray,
+                  exp: jnp.ndarray, bg: jnp.ndarray,
+                  pmf: Callable[..., dict] | None = None,
+                  personalized: bool = False, align: bool = False,
+                  detach_motion: bool = False, return_attn: bool = False,
+                  means2d_offset: jnp.ndarray | None = None) -> MotionRender:
+    """Face-branch motion render — reference ``render_motion`` (:151-298).
+
+    ``umf(x, aud, exp)`` and ``pmf(x, aud, exp)`` are closures over their
+    network params (e.g. ``partial(net.apply, params)``).
+    """
+    xyz0 = state.params.xyz
+    xyz = xyz0
+
+    p_preds = None
+    if personalized or align:
+        p_preds = pmf(xyz0, aud, exp)
+    if align:
+        xyz = xyz + p_preds["p_xyz"]
+
+    preds = umf(xyz, aud, exp)
+    d_xyz, d_scale, d_rot = preds["d_xyz"], preds["d_scale"], preds["d_rot"]
+    if personalized:
+        d_xyz = d_xyz + p_preds["d_xyz"]
+        d_scale = d_scale + p_preds["d_scale"]
+        d_rot = d_rot + p_preds["d_rot"]
+    if align:
+        d_xyz = d_xyz * p_preds["p_scale"]
+    if detach_motion:
+        d_xyz = jax.lax.stop_gradient(d_xyz)
+        d_scale = jax.lax.stop_gradient(d_scale)
+        d_rot = jax.lax.stop_gradient(d_rot)
+
+    means3d = xyz0 + d_xyz
+    opacity = state.get_opacity()
+    scales = jax.nn.softplus(state.params.scaling + d_scale)
+    rot_raw = state.params.rotation + d_rot
+    rotations = rot_raw / jnp.maximum(
+        jnp.linalg.norm(rot_raw, axis=-1, keepdims=True), 1e-12)
+
+    out = rasterize(
+        cfg, means3d, opacity, scales, rotations, cam.view_transform,
+        cam.full_proj_transform, cam.camera_center, cam.tanfovx, cam.tanfovy,
+        bg, shs=_masked_features(state), sh_degree=state.max_sh_degree,
+        means2d_offset=means2d_offset, active=state.alive)
+
+    attn = p_attn = None
+    if return_attn:
+        def attn_render(preds_dict):
+            colors = jnp.concatenate([
+                preds_dict["ambient_aud"], preds_dict["ambient_eye"],
+                jnp.zeros_like(preds_dict["ambient_eye"])], axis=-1)
+            sg = jax.lax.stop_gradient
+            return rasterize(
+                cfg, sg(means3d), sg(opacity), sg(scales), sg(rotations),
+                cam.view_transform, cam.full_proj_transform, cam.camera_center,
+                cam.tanfovx, cam.tanfovy, jnp.zeros_like(bg),
+                colors_precomp=colors, active=state.alive).image
+
+        attn = attn_render(preds)
+        if personalized:
+            p_attn = attn_render(p_preds)
+
+    return MotionRender(out, preds, p_preds, attn, p_attn)
+
+
+def render_motion_mouth(cfg: RasterizeConfig, cam: Camera,
+                        state: GaussianState, mouth_umf: Callable[..., dict],
+                        face_state: GaussianState,
+                        face_umf: Callable[..., dict],
+                        aud: jnp.ndarray, bg: jnp.ndarray,
+                        pmf: Callable[..., dict] | None = None,
+                        personalized: bool = False, align: bool = False,
+                        k: int = 10,
+                        face_motion_cache: dict | None = None,
+                        means2d_offset: jnp.ndarray | None = None
+                        ) -> MotionRender:
+    """Mouth-branch render conditioned on the face UMF's motion range —
+    reference ``render_motion_mouth_con`` (:302-435).
+
+    ``face_motion_cache``: pass the face branch's already-computed motion
+    prediction at inference to skip re-running the face UMF (:362-364).
+    """
+    xyz0 = state.params.xyz
+    xyz = xyz0
+
+    p_preds = None
+    if personalized or align:
+        p_preds = pmf(xyz0, aud)
+    if align:
+        xyz = xyz + p_preds["p_xyz"]
+
+    if face_motion_cache is not None:
+        face_preds = face_motion_cache
+    else:
+        zero_exp = jnp.zeros((6,), xyz.dtype)
+        face_preds = face_umf(face_state.params.xyz, aud, zero_exp)
+
+    # move feature: k-th largest / k-th smallest y-motion and their range,
+    # masked to the face cloud's alive slots (:366-374).
+    dy = face_preds["d_xyz"][:, 1]
+    dy_max = jnp.where(face_state.alive, dy, -jnp.inf)
+    dy_min = jnp.where(face_state.alive, dy, jnp.inf)
+    top_max, _ = jax.lax.top_k(dy_max, k)
+    top_min, _ = jax.lax.top_k(-dy_min, k)
+    m_hi, m_lo = top_max[-1], -top_min[-1]
+    move = jnp.stack([m_hi, m_lo, m_hi - m_lo])[None, :] * 1e2
+    move = jax.lax.stop_gradient(move)
+
+    preds = mouth_umf(xyz, aud, move)
+    d_xyz = preds["d_xyz"]
+    if personalized:
+        d_xyz = d_xyz + p_preds["d_xyz"]
+
+    means3d = xyz0 + d_xyz
+    opacity = state.get_opacity()
+    scales = state.get_scaling()
+    rotations = state.get_rotation()
+
+    out = rasterize(
+        cfg, means3d, opacity, scales, rotations, cam.view_transform,
+        cam.full_proj_transform, cam.camera_center, cam.tanfovx, cam.tanfovy,
+        bg, shs=_masked_features(state), sh_degree=state.max_sh_degree,
+        means2d_offset=means2d_offset, active=state.alive)
+
+    return MotionRender(out, preds, p_preds, None, None)
+
+
+def composite_fuse(face_img, face_alpha, mouth_img, mouth_alpha, bg_color,
+                   torso_bg, mouth_dilate_alpha=None):
+    """Two-branch fusion: mouth over torso background, face over that
+    (reference train_fuse_con.py:125-144, synthesize_fuse.py:70-74).
+
+    All images [3,H,W]; alphas [1,H,W]; bg_color [3] is the constant raster
+    background to subtract; torso_bg [3,H,W] is the per-frame composite
+    background.
+    """
+    ma = mouth_dilate_alpha if mouth_dilate_alpha is not None else mouth_alpha
+    mouth_full = (mouth_img - bg_color[:, None, None] * (1.0 - ma)
+                  + torso_bg * (1.0 - ma))
+    image = (face_img - bg_color[:, None, None] * (1.0 - face_alpha)
+             + mouth_full * (1.0 - face_alpha))
+    return image
+
+
+def dilate_alpha(alpha: jnp.ndarray, k: int = 13) -> jnp.ndarray:
+    """Max-pool dilation of the mouth alpha (synthesize_fuse.py:29-32,66-68)."""
+    pad = k // 2
+    return jax.lax.reduce_window(
+        alpha, -jnp.inf, jax.lax.max, (1, k, k), (1, 1, 1),
+        [(0, 0), (pad, pad), (pad, pad)])

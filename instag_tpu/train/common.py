@@ -1,0 +1,127 @@
+"""Shared training machinery: device-resident frame batches, loss assembly,
+jitted step factories, LR schedules.
+
+The reference trains one frame per iteration from CPU-resident Camera objects
+(e.g. train_face.py:34-?); here all frames upload once as stacked uint8/bool
+device arrays and each jitted step gathers its frame by index — no host↔device
+traffic in the hot loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..data.dataset import FrameRecord
+from ..render import Camera
+from ..utils.losses import l1_loss, ssim
+
+
+@struct.dataclass
+class FrameBatch:
+    """All frames of a split, stacked on device."""
+    view_transform: jnp.ndarray      # [F,4,4]
+    full_proj_transform: jnp.ndarray  # [F,4,4]
+    camera_center: jnp.ndarray       # [F,3]
+    tanfovx: jnp.ndarray             # [F]
+    tanfovy: jnp.ndarray             # [F]
+    image: jnp.ndarray               # [F,H,W,3] uint8
+    bg: jnp.ndarray                  # [F,H,W,3] uint8
+    face_mask: jnp.ndarray           # [F,H,W] bool
+    hair_mask: jnp.ndarray
+    mouth_mask: jnp.ndarray
+    auds: jnp.ndarray                # [F,8,D,16]
+    blink: jnp.ndarray               # [F]
+    au_exp: jnp.ndarray              # [F,6]
+    lips_rect: jnp.ndarray           # [F,4] int32
+    lhalf_rect: jnp.ndarray          # [F,4] int32
+    mouth_bound: jnp.ndarray         # [F,3] f32
+    normal: jnp.ndarray | None = None  # [F,H,W,3] f32 sapiens prior
+    depth: jnp.ndarray | None = None   # [F,H,W] f32
+
+    @property
+    def num_frames(self) -> int:
+        return self.image.shape[0]
+
+    def camera(self, i) -> Camera:
+        return Camera(self.view_transform[i], self.full_proj_transform[i],
+                      self.camera_center[i], self.tanfovx[i], self.tanfovy[i])
+
+    def gt_image(self, i) -> jnp.ndarray:
+        """[3,H,W] float in [0,1]."""
+        return self.image[i].astype(jnp.float32).transpose(2, 0, 1) / 255.0
+
+    def bg_image(self, i) -> jnp.ndarray:
+        return self.bg[i].astype(jnp.float32).transpose(2, 0, 1) / 255.0
+
+
+def build_frame_batch(records: list[FrameRecord],
+                      with_priors: bool = False) -> FrameBatch:
+    def stack(fn, dtype=None):
+        arr = np.stack([fn(r) for r in records])
+        return jnp.asarray(arr if dtype is None else arr.astype(dtype))
+
+    kwargs = dict(
+        view_transform=stack(lambda r: r.view_transform),
+        full_proj_transform=stack(lambda r: r.full_proj_transform),
+        camera_center=stack(lambda r: r.camera_center),
+        tanfovx=stack(lambda r: r.tanfovx, np.float32),
+        tanfovy=stack(lambda r: r.tanfovy, np.float32),
+        image=stack(lambda r: r.image, np.uint8),
+        bg=stack(lambda r: r.bg, np.uint8),
+        face_mask=stack(lambda r: r.face_mask, bool),
+        hair_mask=stack(lambda r: r.hair_mask, bool),
+        mouth_mask=stack(lambda r: r.mouth_mask, bool),
+        auds=stack(lambda r: r.auds, np.float32),
+        blink=stack(lambda r: r.blink, np.float32),
+        au_exp=stack(lambda r: r.au_exp, np.float32),
+        lips_rect=stack(lambda r: r.lips_rect, np.int32),
+        lhalf_rect=stack(lambda r: r.lhalf_rect, np.int32),
+        mouth_bound=stack(lambda r: r.mouth_bound, np.float32),
+    )
+    if with_priors and records[0].normal is not None:
+        kwargs["normal"] = stack(lambda r: r.normal, np.float32)
+        kwargs["depth"] = stack(lambda r: r.depth, np.float32)
+    return FrameBatch(**kwargs)
+
+
+def rgb_loss(image: jnp.ndarray, gt: jnp.ndarray,
+             lambda_dssim: float) -> jnp.ndarray:
+    """(1-λ)·L1 + λ·(1-SSIM) — the base photometric loss everywhere
+    (e.g. train_face.py:450-456)."""
+    return ((1.0 - lambda_dssim) * l1_loss(image, gt)
+            + lambda_dssim * (1.0 - ssim(image, gt)))
+
+
+def gaussian_lrs(opt_cfg, step, spatial_lr_scale: float) -> dict[str, Any]:
+    """Per-attribute LRs for the Gaussian Adam; xyz follows the exponential
+    schedule (scene/gaussian_model.py:369-414)."""
+    from ..utils.general import expon_lr
+    xyz_lr = expon_lr(step, opt_cfg.position_lr_init * spatial_lr_scale,
+                      opt_cfg.position_lr_final * spatial_lr_scale,
+                      lr_delay_mult=opt_cfg.position_lr_delay_mult,
+                      max_steps=opt_cfg.position_lr_max_steps)
+    return dict(
+        xyz=xyz_lr,
+        features_dc=opt_cfg.feature_lr,
+        features_rest=opt_cfg.feature_lr / 20.0,
+        identity=opt_cfg.identity_lr,
+        opacity=opt_cfg.opacity_lr,
+        scaling=opt_cfg.scaling_lr,
+        rotation=opt_cfg.rotation_lr,
+    )
+
+
+def rect_mask(height: int, width: int, rect, invert: bool = False):
+    """[H,W] mask that is True inside rect [xmin,xmax,ymin,ymax] where x
+    indexes rows (the reference's landmark convention)."""
+    rows = jnp.arange(height)[:, None]
+    cols = jnp.arange(width)[None, :]
+    inside = ((rows >= rect[0]) & (rows < rect[1]) &
+              (cols >= rect[2]) & (cols < rect[3]))
+    return ~inside if invert else inside

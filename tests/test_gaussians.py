@@ -1,0 +1,172 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from instag_tpu.models.gaussians import (
+    AdamState, GaussianParams, GaussianState, adam_init, adam_update,
+    add_densification_stats, create_from_points, densify_and_prune,
+    one_up_sh_degree, prune_mask, reset_opacity, softplus, softplus_inverse,
+    update_max_radii)
+
+
+def make_state(n=16, cap=64, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.uniform(-0.1, 0.1, (n, 3)).astype(np.float32))
+    cols = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+    return create_from_points(pts, cols, capacity=cap, max_sh_degree=2)
+
+
+def test_create_from_points_parity():
+    state = make_state()
+    assert int(state.num_alive()) == 16
+    assert state.params.xyz.shape == (64, 3)
+    assert state.params.features_rest.shape == (64, 8, 3)
+    # opacity activates to 0.1 (reference :276)
+    np.testing.assert_allclose(np.asarray(state.get_opacity())[:16], 0.1, rtol=1e-5)
+    # identity quaternion
+    np.testing.assert_allclose(np.asarray(state.get_rotation())[:16, 0], 1.0)
+    # SH degree warmup
+    assert int(state.active_sh_degree) == 0
+    s = one_up_sh_degree(one_up_sh_degree(one_up_sh_degree(state)))
+    assert int(s.active_sh_degree) == 2  # capped at max
+
+
+def test_softplus_inverse_roundtrip():
+    y = jnp.array([0.01, 0.1, 1.0, 5.0])
+    np.testing.assert_allclose(np.asarray(softplus(softplus_inverse(y))), np.asarray(y),
+                               rtol=1e-5)
+
+
+def test_adam_step_moves_alive_only():
+    state = make_state()
+    opt = adam_init(state.params)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    lrs = dict(xyz=1e-3, features_dc=2.5e-3, features_rest=1.25e-4,
+               identity=1e-2, opacity=0.05, scaling=3e-3, rotation=1e-3)
+    new_p, new_opt = adam_update(state.params, grads, opt, lrs, state.alive)
+    moved = np.abs(np.asarray(new_p.xyz - state.params.xyz)).sum(-1)
+    assert (moved[:16] > 0).all()
+    assert (moved[16:] == 0).all()
+    assert int(new_opt.step) == 1
+    # first-step Adam update magnitude == lr (bias-corrected, g=1)
+    np.testing.assert_allclose(moved[:16], 3 * 1e-3, rtol=1e-4)
+
+
+def test_densify_clone():
+    state = make_state()
+    opt = adam_init(state.params)
+    # mark points 0..3 as high-gradient; make all scales tiny -> clone path
+    accum = jnp.zeros(64).at[:4].set(10.0)
+    state = state.replace(xyz_grad_accum=accum,
+                          denom=jnp.zeros(64).at[:16].set(1.0))
+    small = softplus_inverse(jnp.full((64, 3), 1e-3))
+    state = state.replace(params=state.params.replace(scaling=small))
+    new, _ = densify_and_prune(state, opt, jax.random.key(0),
+                               max_grad=1.0, min_opacity=0.005, extent=1.0,
+                               max_screen_size=20.0, percent_dense=0.01)
+    # 16 alive + 4 clones
+    assert int(new.num_alive()) == 20
+    # clone slots replicate the parents exactly
+    cloned = np.asarray(new.params.xyz[16:20])
+    parents = np.asarray(state.params.xyz[:4])
+    np.testing.assert_allclose(np.sort(cloned, 0), np.sort(parents, 0), atol=1e-6)
+    # stats reset
+    assert float(jnp.sum(new.xyz_grad_accum)) == 0.0
+
+
+def test_densify_split_kills_parent_and_shrinks_children():
+    state = make_state()
+    opt = adam_init(state.params)
+    accum = jnp.zeros(64).at[:2].set(10.0)
+    state = state.replace(xyz_grad_accum=accum,
+                          denom=jnp.zeros(64).at[:16].set(1.0))
+    big = softplus_inverse(jnp.full((64, 3), 0.5))  # > percent_dense*extent
+    state = state.replace(params=state.params.replace(scaling=big))
+    new, _ = densify_and_prune(state, opt, jax.random.key(1),
+                               max_grad=1.0, min_opacity=0.005, extent=1.0,
+                               max_screen_size=None, percent_dense=0.01)
+    # 16 - 2 parents + 4 children... but children scales 0.5/1.6=0.3125 which
+    # is > 0.1*extent -> but max_screen_size=None disables ws prune
+    assert int(new.num_alive()) == 18
+    # children have scale = parent/1.6
+    child_scale = np.asarray(softplus(new.params.scaling[16:20]))
+    np.testing.assert_allclose(child_scale, 0.5 / 1.6, rtol=1e-4)
+    # parents 0,1 dead
+    assert not bool(new.alive[0]) and not bool(new.alive[1])
+
+
+def test_prune_by_opacity_and_world_size():
+    state = make_state()
+    opt = adam_init(state.params)
+    from instag_tpu.utils.general import inverse_sigmoid
+    op = state.params.opacity.at[0].set(inverse_sigmoid(jnp.array([0.001])))
+    small = softplus_inverse(jnp.full((64, 3), 1e-3))
+    big = small.at[1].set(softplus_inverse(jnp.full(3, 0.5)))
+    state = state.replace(params=state.params.replace(opacity=op, scaling=big))
+    new, _ = densify_and_prune(state, opt, jax.random.key(2),
+                               max_grad=1e9, min_opacity=0.005, extent=1.0,
+                               max_screen_size=20.0, percent_dense=0.01)
+    assert not bool(new.alive[0])  # low opacity
+    assert not bool(new.alive[1])  # world size > 0.1*extent
+    assert int(new.num_alive()) == 14
+
+
+def test_capacity_overflow_drops_extra_children():
+    state = make_state(n=60, cap=64)
+    opt = adam_init(state.params)
+    accum = jnp.zeros(64).at[:60].set(10.0)  # everyone wants to clone
+    state = state.replace(xyz_grad_accum=accum,
+                          denom=jnp.zeros(64).at[:60].set(1.0))
+    small = softplus_inverse(jnp.full((64, 3), 1e-3))
+    state = state.replace(params=state.params.replace(scaling=small))
+    new, _ = densify_and_prune(state, opt, jax.random.key(3),
+                               max_grad=1.0, min_opacity=0.005, extent=1.0,
+                               max_screen_size=None, percent_dense=0.01)
+    assert int(new.num_alive()) == 64  # filled, no crash, no wraparound
+
+
+def test_reset_opacity_and_moment_zeroing():
+    state = make_state()
+    opt = adam_init(state.params)
+    grads = jax.tree.map(jnp.ones_like, state.params)
+    lrs = {k: 1e-2 for k in ("xyz", "features_dc", "features_rest", "identity",
+                             "opacity", "scaling", "rotation")}
+    _, opt = adam_update(state.params, grads, opt, lrs, state.alive)
+    assert float(jnp.abs(opt.mu.opacity).sum()) > 0
+    new_state, new_opt = reset_opacity(state, opt)
+    np.testing.assert_allclose(np.asarray(new_state.get_opacity())[:16], 0.01,
+                               rtol=1e-4)
+    assert float(jnp.abs(new_opt.mu.opacity).sum()) == 0.0
+    assert float(jnp.abs(new_opt.mu.xyz).sum()) > 0  # others untouched
+
+
+def test_densification_stats_and_radii():
+    state = make_state()
+    g2d = jnp.ones((64, 2)) * jnp.array([3.0, 4.0])
+    vis = jnp.zeros(64, bool).at[:8].set(True)
+    state = add_densification_stats(state, g2d, vis)
+    np.testing.assert_allclose(np.asarray(state.xyz_grad_accum[:8]), 5.0)
+    assert float(state.xyz_grad_accum[8:].sum()) == 0
+    state = update_max_radii(state, jnp.full(64, 7.0), vis)
+    assert float(state.max_radii2d[0]) == 7.0
+    assert float(state.max_radii2d[10]) == 0.0
+
+
+def test_prune_mask_fn():
+    state = make_state()
+    opt = adam_init(state.params)
+    mask = jnp.zeros(64, bool).at[3].set(True)
+    new, _ = prune_mask(state, opt, mask)
+    assert int(new.num_alive()) == 15
+
+
+def test_densify_under_jit():
+    state = make_state()
+    opt = adam_init(state.params)
+
+    @jax.jit
+    def run(s, o, k):
+        return densify_and_prune(s, o, k, 1e9, 0.005, 1.0, None, 0.01)
+
+    new, _ = run(state, opt, jax.random.key(0))
+    assert int(new.num_alive()) == 16  # nothing selected, nothing pruned
