@@ -94,15 +94,22 @@ def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
 
     ``umf(x, aud, exp)`` and ``pmf(x, aud, exp)`` are closures over their
     network params (e.g. ``partial(net.apply, params)``).
+
+    ``align`` may be a Python bool (structural) or a traced 0/1 scalar — the
+    latter lets one compiled step cover the reference's align-after-iter-1000
+    warmup toggle (train_face.py:345-350) without recompilation.
     """
     xyz0 = state.params.xyz
     xyz = xyz0
 
+    align_structural = not (isinstance(align, bool) and not align)
+    align_s = (1.0 if align else 0.0) if isinstance(align, bool) else align
+
     p_preds = None
-    if personalized or align:
+    if personalized or align_structural:
         p_preds = pmf(xyz0, aud, exp)
-    if align:
-        xyz = xyz + p_preds["p_xyz"]
+    if align_structural:
+        xyz = xyz + p_preds["p_xyz"] * align_s
 
     preds = umf(xyz, aud, exp)
     d_xyz, d_scale, d_rot = preds["d_xyz"], preds["d_scale"], preds["d_rot"]
@@ -110,8 +117,8 @@ def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
         d_xyz = d_xyz + p_preds["d_xyz"]
         d_scale = d_scale + p_preds["d_scale"]
         d_rot = d_rot + p_preds["d_rot"]
-    if align:
-        d_xyz = d_xyz * p_preds["p_scale"]
+    if align_structural:
+        d_xyz = d_xyz * (1.0 + (p_preds["p_scale"] - 1.0) * align_s)
     if detach_motion:
         d_xyz = jax.lax.stop_gradient(d_xyz)
         d_scale = jax.lax.stop_gradient(d_scale)
@@ -157,12 +164,17 @@ def render_motion_mouth(cfg: RasterizeConfig, cam: Camera,
                         aud: jnp.ndarray, bg: jnp.ndarray,
                         pmf: Callable[..., dict] | None = None,
                         personalized: bool = False, align: bool = False,
-                        k: int = 10,
+                        k=10, k_max: int = 50,
                         face_motion_cache: dict | None = None,
                         means2d_offset: jnp.ndarray | None = None
                         ) -> MotionRender:
     """Mouth-branch render conditioned on the face UMF's motion range —
     reference ``render_motion_mouth_con`` (:302-435).
+
+    ``k`` may be traced (the trainer draws it uniformly from [10, 50] each
+    step, train_mouth.py:175): top-k always runs at the static ``k_max`` and
+    the k-th element is selected dynamically. ``align`` may be a bool or a
+    traced 0/1 scalar (see render_motion).
 
     ``face_motion_cache``: pass the face branch's already-computed motion
     prediction at inference to skip re-running the face UMF (:362-364).
@@ -170,11 +182,14 @@ def render_motion_mouth(cfg: RasterizeConfig, cam: Camera,
     xyz0 = state.params.xyz
     xyz = xyz0
 
+    align_structural = not (isinstance(align, bool) and not align)
+    align_s = (1.0 if align else 0.0) if isinstance(align, bool) else align
+
     p_preds = None
-    if personalized or align:
+    if personalized or align_structural:
         p_preds = pmf(xyz0, aud)
-    if align:
-        xyz = xyz + p_preds["p_xyz"]
+    if align_structural:
+        xyz = xyz + p_preds["p_xyz"] * align_s
 
     if face_motion_cache is not None:
         face_preds = face_motion_cache
@@ -187,9 +202,10 @@ def render_motion_mouth(cfg: RasterizeConfig, cam: Camera,
     dy = face_preds["d_xyz"][:, 1]
     dy_max = jnp.where(face_state.alive, dy, -jnp.inf)
     dy_min = jnp.where(face_state.alive, dy, jnp.inf)
-    top_max, _ = jax.lax.top_k(dy_max, k)
-    top_min, _ = jax.lax.top_k(-dy_min, k)
-    m_hi, m_lo = top_max[-1], -top_min[-1]
+    top_max, _ = jax.lax.top_k(dy_max, k_max)
+    top_min, _ = jax.lax.top_k(-dy_min, k_max)
+    kidx = jnp.clip(jnp.asarray(k) - 1, 0, k_max - 1)
+    m_hi, m_lo = top_max[kidx], -top_min[kidx]
     move = jnp.stack([m_hi, m_lo, m_hi - m_lo])[None, :] * 1e2
     move = jax.lax.stop_gradient(move)
 

@@ -1,0 +1,126 @@
+"""Fused synthesis: render the two-branch talking head to video
+(reference synthesize_fuse.py).
+
+Per frame (:34-74): face `render_motion(personalized, align=True)` + mouth
+`render_motion_mouth(inference=True)` reusing the face UMF prediction,
+optional mouth-alpha max-pool dilation (k=13), alpha composite over the
+per-frame torso background, collect uint8 frames → mp4 at 25 fps.
+
+TPU design: the whole per-frame pipeline (two UMFs + two PMFs + two raster
+passes + composite) is ONE jitted function; frames stream through it with
+device-side uint8 conversion, so the hot loop is a single dispatch per frame.
+This is the ≥25 FPS 512x512 target path (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from .data.dataset import load_frames
+from .models import gaussians as G
+from .models.motion import (MotionNetwork, MouthMotionNetwork,
+                            PersonalizedMotionNetwork)
+from .ops.rasterize import RasterizeConfig
+from .render import composite_fuse, dilate_alpha, render_motion, \
+    render_motion_mouth
+from .train.common import FrameBatch, build_frame_batch
+
+GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+
+
+def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
+                      dilate: bool = False, personalized: bool = False):
+    """Build the jitted per-frame synthesis step.
+
+    Returns fn(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
+    mouth_pmf, batch, i) -> uint8 [H, W, 3].
+    """
+    face_net = MotionNetwork(model_cfg.audio_extractor)
+    mouth_net = MouthMotionNetwork(model_cfg.audio_extractor)
+    face_pmf_net = PersonalizedMotionNetwork("face", model_cfg.audio_extractor)
+    mouth_pmf_net = PersonalizedMotionNetwork("mouth", model_cfg.audio_extractor)
+
+    @jax.jit
+    def synth(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
+              mouth_pmf, batch: FrameBatch, i):
+        cam = batch.camera(i)
+        aud = batch.auds[i]
+        exp = batch.au_exp[i]
+        torso_bg = batch.bg_image(i)
+
+        fr = render_motion(
+            cfg, cam, face_state,
+            umf=lambda x, a, e: face_net.apply(face_umf, x, a, e),
+            aud=aud, exp=exp, bg=GREEN,
+            pmf=lambda x, a, e: face_pmf_net.apply(face_pmf, x, a, e),
+            personalized=personalized, align=True)
+        # inference reuses the face branch's motion prediction as the cache
+        # (synthesize_fuse.py:55-56, gaussian_renderer/__init__.py:362-364);
+        # the cached prediction was computed with the real expression, which
+        # is what the reference cache holds at this point.
+        mr = render_motion_mouth(
+            cfg, cam, mouth_state,
+            mouth_umf=lambda x, a, m: mouth_net.apply(mouth_umf, x, a, m),
+            face_state=face_state,
+            face_umf=None, aud=aud, bg=GREEN,
+            pmf=lambda x, a: mouth_pmf_net.apply(mouth_pmf, x, a),
+            personalized=personalized, align=True,
+            face_motion_cache=fr.motion)
+
+        alpha_m = mr.out.alpha
+        dil = dilate_alpha(alpha_m, 13) if dilate else alpha_m
+        image = composite_fuse(fr.out.image, fr.out.alpha, mr.out.image,
+                               alpha_m, GREEN, torso_bg,
+                               mouth_dilate_alpha=dil)
+        return (jnp.clip(image, 0.0, 1.0) * 255.0
+                ).astype(jnp.uint8).transpose(1, 2, 0)
+
+    return synth
+
+
+def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
+               split: str = "val", audio_file: str = "",
+               dilate: bool = False, personalized: bool = False,
+               out_path: str | None = None, fps: int = 25,
+               max_frames: int | None = None):
+    """Render a full clip; returns (frames [T,H,W,3] uint8, fps achieved)."""
+    records = load_frames(model_cfg.source_path, split,
+                          model_cfg.audio_extractor, -1,
+                          audio_file=audio_file)
+    if max_frames:
+        records = records[:max_frames]
+    batch = build_frame_batch(records)
+    h, w = records[0].height, records[0].width
+    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
+
+    synth = make_synthesis_fn(cfg, model_cfg, dilate, personalized)
+
+    face_state: G.GaussianState = fuse_bundle["face_state"]
+    mouth_state: G.GaussianState = fuse_bundle["mouth_state"]
+    args = (face_state, mouth_state, fuse_bundle["face_umf_params"],
+            fuse_bundle["mouth_umf_params"], fuse_bundle["face_pmf_params"],
+            fuse_bundle["mouth_pmf_params"], batch)
+
+    # warmup/compile
+    frame0 = np.asarray(synth(*args, 0))
+    t0 = time.time()
+    frames = [frame0]
+    for i in range(1, batch.num_frames):
+        frames.append(np.asarray(synth(*args, i)))
+    dt = time.time() - t0
+    achieved_fps = (batch.num_frames - 1) / max(dt, 1e-9)
+
+    video = np.stack(frames)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        import imageio
+        imageio.mimwrite(out_path, video, fps=fps,
+                         quality=8, macro_block_size=1)
+    return video, achieved_fps

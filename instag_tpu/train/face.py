@@ -1,0 +1,386 @@
+"""Few-shot face adaptation trainer (reference train_face.py).
+
+Loads a pre-trained face UMF, fine-tunes it (AdamW + LambdaLR) while fitting a
+personalized Gaussian cloud; the PMF contributes only its align head
+(p_xyz/p_scale — personalized deltas stay off, train_face.py:343-350).
+
+Loss schedule (all constants from train_face.py, cited inline):
+  warm (it<3000): head-masked L1+0.2(1-SSIM) on green background, align
+  enabled after it>1000; then motion/PMF regs 1e-5 (:500-528), alpha 1e-3
+  (:540), eye-attn-in-lips 1e-4 (:557), hair-attn 1e-4 off hair-paint iters
+  (:561-572); sapiens normal 0.01 / depth 1e-2 priors for few-shot after
+  warm+2000 (:460-491); patch-LPIPS after densify_until-1500 (:596-620).
+Densification until iterations-1000 with rising opacity floor
+0.05+0.25·i/until (:702), green-Gaussian prune (:764-769) and z<-0.07 depth
+prune (:778) at densify intervals.
+
+TPU design: all frames live on device; one compiled step per static phase
+(base / +lpips per patch size); phase toggles inside a phase are traced 0/1
+flags so nothing recompiles in the loop.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import ModelConfig, OptimizationConfig
+from ..data.dataset import load_frames, random_init_points, scene_extent
+from ..models import gaussians as G
+from ..models.lpips import load_lpips_params
+from ..models.motion import MotionNetwork, PersonalizedMotionNetwork
+from ..ops.rasterize import RasterizeConfig
+from ..render import render_motion
+from ..utils.losses import l1_loss, psnr, normalize_depth, patchify, ssim
+from ..utils.sh import eval_sh
+from .common import FrameBatch, build_frame_batch, gaussian_lrs, rect_mask
+from .optim import pmf_optimizer, umf_optimizer
+
+GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+
+
+@struct.dataclass
+class Flags:
+    """Traced within-phase toggles (all 0/1 floats)."""
+    align: jnp.ndarray
+    use_regs: jnp.ndarray
+    use_sapiens: jnp.ndarray
+    use_depth: jnp.ndarray
+    hair_paint: jnp.ndarray
+
+
+def _paint(img, mask_hw, color):
+    return jnp.where(mask_hw[None, :, :], color[:, None, None], img)
+
+
+def make_face_step(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
+                   spatial_lr_scale, has_priors: bool, umf_tx, pmf_tx,
+                   lpips_fn=None, lpips_patch: int = 0, long: bool = False,
+                   lips_crop: int = 96):
+    """Build one compiled training step for a static phase."""
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+    def _step(state, gopt, umf_params, umf_opt_state, pmf_params,
+              pmf_opt_state, batch: FrameBatch, i, it, flags: Flags):
+        cam = batch.camera(i)
+        gt = batch.gt_image(i)
+        aud = batch.auds[i]
+        exp = batch.au_exp[i]
+        face_m = batch.face_mask[i]
+        hair_m = batch.hair_mask[i]
+        mouth_m = batch.mouth_mask[i]
+        head_m = face_m | hair_m
+        h, w = cfg.image_height, cfg.image_width
+
+        if lpips_patch:
+            # soften the mouth mask with erode(dilate) (train_face.py:333-335)
+            mm = mouth_m[None].astype(jnp.float32)
+            dil = jax.lax.reduce_window(mm, -jnp.inf, jax.lax.max,
+                                        (1, 3, 3), (1, 1, 1), "SAME")
+            ero = -jax.lax.reduce_window(-dil, -jnp.inf, jax.lax.max,
+                                         (1, 3, 3), (1, 1, 1), "SAME")
+            mouth_m = ero[0] > 0.5
+
+        offset0 = jnp.zeros((state.capacity, 2))
+
+        def loss_fn(gparams, umf_p, pmf_p, off):
+            st = state.replace(params=gparams)
+            mr = render_motion(
+                cfg, cam, st,
+                umf=lambda x, a, e: umf_net.apply(umf_p, x, a, e),
+                aud=aud, exp=exp, bg=GREEN,
+                pmf=lambda x, a, e: pmf_net.apply(pmf_p, x, a, e),
+                personalized=False, align=flags.align, return_attn=True,
+                means2d_offset=off)
+            out = mr.out
+            image = out.image
+            alpha = out.alpha
+
+            gt_white = jnp.where(head_m[None], gt, GREEN[:, None, None])
+            gt_white = _paint(gt_white, mouth_m, GREEN)  # mouth excluded (:445)
+            img_w = image
+            # hair painted to bg on most mid-phase iters (:429-437)
+            hp = flags.hair_paint
+            img_w = img_w * (1 - hp) + _paint(img_w, hair_m, GREEN) * hp
+            gt_w = gt_white * (1 - hp) + _paint(gt_white, hair_m, GREEN) * hp
+
+            loss = l1_loss(img_w, gt_w)
+            loss += opt_cfg.lambda_dssim * (1.0 - ssim(img_w, gt_w))
+
+            if has_priors and not long:
+                # sapiens normal prior, cosine on head⊻mouth (:469)
+                n_prior = batch.normal[i].transpose(2, 0, 1)
+                nm = (head_m ^ mouth_m).astype(jnp.float32)
+                cos = (1.0 - n_prior * out.normal).sum(0)
+                loss += flags.use_sapiens * 0.01 * (
+                    (cos * nm).sum() / jnp.maximum(nm.sum(), 1.0))
+                # scale-normalized mono-depth L1 on face⊻mouth (:491)
+                fm = (face_m ^ mouth_m).astype(jnp.float32)
+                dd = jnp.abs(normalize_depth(out.depth[0])
+                             - normalize_depth(batch.depth[i]))
+                loss += (flags.use_sapiens * flags.use_depth * 1e-2
+                         * (dd * fm).sum() / jnp.maximum(fm.sum(), 1.0))
+
+            # motion / PMF regularizers (:500-528)
+            m = mr.motion
+            reg = (jnp.abs(m["d_xyz"]).mean() + jnp.abs(m["d_rot"]).mean()
+                   + jnp.abs(m["d_opa"]).mean() + jnp.abs(m["d_scale"]).mean()
+                   + jnp.abs(mr.p_motion["p_xyz"]).mean())
+            loss += flags.use_regs * 1e-5 * reg
+
+            # alpha mask loss (:540)
+            hm = head_m[None].astype(jnp.float32)
+            loss += flags.use_regs * 1e-3 * (
+                ((1 - alpha) * hm).mean() + (alpha * (1 - hm)).mean())
+
+            # eye-attention suppressed inside the lips rect (:557)
+            rect = batch.lips_rect[i]
+            lips_m = rect_mask(h, w, rect).astype(jnp.float32)
+            loss += flags.use_regs * 1e-4 * (
+                (mr.attn[1] * lips_m).sum() / jnp.maximum(lips_m.sum(), 1.0))
+
+            # hair attention losses on non-paint iters (:561-572)
+            hmf = hair_m.astype(jnp.float32)
+            attn_hair = ((mr.attn[1] * hmf).sum() + (mr.attn[0] * hmf).sum()
+                         ) / jnp.maximum(hmf.sum(), 1.0)
+            loss += flags.use_regs * (1 - hp) * 1e-4 * attn_hair
+
+            if lpips_patch and lpips_fn is not None:
+                img_t = img_w
+                gt_t = gt_w
+                if long:
+                    # lips-crop LPIPS, fixed-size dynamic slice (:600-604)
+                    cx = jnp.clip((rect[0] + rect[1]) // 2 - lips_crop // 2,
+                                  0, h - lips_crop)
+                    cy = jnp.clip((rect[2] + rect[3]) // 2 - lips_crop // 2,
+                                  0, w - lips_crop)
+                    crop_i = jax.lax.dynamic_slice(
+                        img_t, (0, cx, cy), (3, lips_crop, lips_crop))
+                    crop_g = jax.lax.dynamic_slice(
+                        gt_t, (0, cx, cy), (3, lips_crop, lips_crop))
+                    loss += 0.01 * lpips_fn(crop_i[None] * 2 - 1,
+                                            crop_g[None] * 2 - 1).mean()
+                img_t = jnp.where(lips_m[None] > 0, GREEN[:, None, None], img_t)
+                gt_t = jnp.where(lips_m[None] > 0, GREEN[:, None, None], gt_t)
+                pi = patchify(img_t * 2 - 1, lpips_patch)
+                pg = patchify(gt_t * 2 - 1, lpips_patch)
+                d = lpips_fn(pi, pg).mean()
+                loss += (0.21 if long else 0.01) * d  # 0.2 + 0.01 in --long (:612-620)
+
+            aux = (out, jnp.stack([l1_loss(img_w, gt_w)]))
+            return loss, aux
+
+        (loss, (out, _)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+                state.params, umf_params, pmf_params, offset0)
+        g_gauss, g_umf, g_pmf, g_off = grads
+
+        # Gaussian Adam
+        lrs = gaussian_lrs(opt_cfg, it, spatial_lr_scale)
+        new_params, gopt = G.adam_update(state.params, g_gauss, gopt, lrs,
+                                         state.alive)
+        state = state.replace(params=new_params)
+
+        # UMF AdamW (+ schedule)
+        umf_updates, umf_opt_state = umf_tx.update(g_umf, umf_opt_state,
+                                                   umf_params)
+        umf_params = jax.tree.map(lambda p, u: p + u, umf_params, umf_updates)
+
+        # PMF Adam
+        pmf_updates, pmf_opt_state = pmf_tx.update(g_pmf, pmf_opt_state,
+                                                   pmf_params)
+        pmf_params = jax.tree.map(lambda p, u: p + u, pmf_params, pmf_updates)
+
+        visible = out.radii > 0
+        state = G.add_densification_stats(state, g_off, visible)
+        state = G.update_max_radii(state, out.radii, visible)
+        return state, gopt, umf_params, umf_opt_state, pmf_params, \
+            pmf_opt_state, loss
+
+    return _step
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def _prune_green_and_depth(state, opt, campos, it, prune_depth: bool,
+                           max_sh_degree: int):
+    """Green-splat prune + z<-0.07 depth prune (train_face.py:719-778)."""
+    feats = state.get_features()
+    dirs = state.params.xyz - campos[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    colors = jnp.maximum(
+        eval_sh(max_sh_degree, jnp.swapaxes(feats, -1, -2), dirs) + 0.5, 0.0)
+    green = ((colors[:, 0] < 30 / 255) & (colors[:, 1] > 225 / 255)
+             & (colors[:, 2] < 30 / 255))
+    mask = green
+    if prune_depth:
+        mask = mask | (state.params.xyz[:, 2] < -0.07)
+    return G.prune_mask(state, opt, mask)
+
+
+def sample_frame_curriculum(rng, records_meta, stack, it, warm_step,
+                            iterations, select_interval=10):
+    """Host-side curriculum sampling (train_face.py:122-317): early phase
+    prefers the moving mouth-open window, later the blink window, with the
+    100-attempt nearest-frame fallback."""
+    if not stack:
+        stack.extend(range(len(records_meta["mouth"])))
+    idx = stack.pop(int(rng.integers(len(stack))))
+
+    mouth_step = 1.0 / max(iterations, 1)
+    if it % select_interval != 0:
+        return idx
+    mouth_vals = records_meta["mouth"]
+    blink_vals = records_meta["blink"]
+
+    if it < warm_step:
+        lb, ub = records_meta["mouth_lb"], records_meta["mouth_ub"]
+        lb = lb + (ub - lb) * 0.2
+        window = (ub - lb) * 0.5
+        lo = lb + mouth_step * it * (ub - lb)
+        hi = lo + window
+        lo = lo - window
+        vals = mouth_vals
+    else:
+        window = 0.4
+        lo = mouth_step * it
+        hi = lo + window
+        lo = lo - window * 1.5
+        vals = blink_vals
+
+    for _ in range(100):
+        if lo <= vals[idx] <= hi:
+            return idx
+        if not stack:
+            stack.extend(range(len(vals)))
+        idx = stack.pop(int(rng.integers(len(stack))))
+    # nearest-frame fallback (:203-236)
+    arr = np.asarray(vals)
+    dist = np.where(arr < lo, lo - arr, np.where(arr > hi, arr - hi, 0.0))
+    return int(np.argmin(dist))
+
+
+def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
+               pretrain_bundle: dict | None = None, long: bool = False,
+               log_every: int = 500, eval_fn=None, warm_step: int = 3000,
+               seed: int = 0, lpips_enabled: bool = True):
+    records = load_frames(model_cfg.source_path, "train",
+                          model_cfg.audio_extractor, model_cfg.N_views)
+    has_priors = records[0].normal is not None
+    batch = build_frame_batch(records, with_priors=has_priors)
+    _, extent = scene_extent(records)
+    h, w = records[0].height, records[0].width
+    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
+
+    iterations = opt_cfg.iterations
+    densify_until = iterations - 1000          # train_face.py:40
+    lpips_start = densify_until - 1500         # :42
+
+    max_sh = model_cfg.sh_degree if long else 1  # :95-96
+    capacity = model_cfg.resolve_capacity()
+    xyz, colors = random_init_points(model_cfg.init_num, seed)
+    state = G.create_from_points(jnp.asarray(xyz), jnp.asarray(colors),
+                                 capacity, max_sh, extent)
+    gopt = G.adam_init(state.params)
+
+    umf_net = MotionNetwork(model_cfg.audio_extractor)
+    pmf_net = PersonalizedMotionNetwork("face", model_cfg.audio_extractor)
+    key = jax.random.key(seed)
+    k1, k2, key = jax.random.split(key, 3)
+    x0 = state.params.xyz[:8]
+    a0 = batch.auds[0]
+    e0 = batch.au_exp[0]
+    umf_params = umf_net.init(k1, x0, a0, e0)
+    if pretrain_bundle is not None:
+        umf_params = jax.tree.map(jnp.asarray, pretrain_bundle["umf_params"])
+    pmf_params = pmf_net.init(k2, x0, a0, e0)
+
+    umf_tx, umf_opt_state = umf_optimizer(
+        umf_params, total_iters=iterations, warm_step=warm_step, long=long)
+    pmf_tx, pmf_opt_state = pmf_optimizer(pmf_params)
+
+    base_step = make_face_step(cfg, opt_cfg, umf_net, pmf_net, extent,
+                               has_priors, umf_tx, pmf_tx, None, 0, long)
+    patch_sizes = [s for s in (64, 80, 96) if s <= min(h, w)] or [min(h, w)]
+    lpips_steps = {}
+    if lpips_enabled:
+        lpips_model, lpips_params = load_lpips_params()
+
+        def lpips_call(a, b):
+            return lpips_model.apply(lpips_params, a, b)
+
+        lpips_steps = {
+            ps: make_face_step(cfg, opt_cfg, umf_net, pmf_net, extent,
+                               has_priors, umf_tx, pmf_tx, lpips_call, ps,
+                               long, lips_crop=min(96, h, w))
+            for ps in patch_sizes}
+
+    meta = {
+        "mouth": [r.mouth_bound[2] for r in records],
+        "blink": [r.blink for r in records],
+        "mouth_lb": records[0].mouth_bound[0],
+        "mouth_ub": records[0].mouth_bound[1],
+    }
+    rng = np.random.default_rng(seed)
+    stack: list[int] = []
+    hair_mask_interval = 7                      # :46
+    losses = []
+    t0 = time.time()
+
+    for it in range(1, iterations + 1):
+        if it % 1000 == 0:
+            state = G.one_up_sh_degree(state)
+        i = sample_frame_curriculum(rng, meta, stack, it, warm_step, iterations)
+
+        hair_iter = (warm_step < it < lpips_start - 1000
+                     and it % hair_mask_interval != 0)
+        flags = Flags(
+            align=jnp.float32(it > 1000),
+            use_regs=jnp.float32(it > warm_step),
+            use_sapiens=jnp.float32((not long) and it > warm_step + 2000),
+            use_depth=jnp.float32(it % opt_cfg.opacity_reset_interval > 100),
+            hair_paint=jnp.float32(hair_iter),
+        )
+        if lpips_steps and it > lpips_start:
+            ps = patch_sizes[int(rng.integers(len(patch_sizes)))]
+            step = lpips_steps[ps]
+        else:
+            step = base_step
+        state, gopt, umf_params, umf_opt_state, pmf_params, pmf_opt_state, \
+            loss = step(state, gopt, umf_params, umf_opt_state, pmf_params,
+                        pmf_opt_state, batch, i, it, flags)
+        losses.append(float(loss))
+
+        if it < densify_until and it > opt_cfg.densify_from_iter \
+                and it % opt_cfg.densification_interval == 0:
+            key, sub = jax.random.split(key)
+            floor = 0.05 + 0.25 * it / densify_until   # :702
+            state, gopt = G.densify_and_prune(
+                state, gopt, sub, opt_cfg.densify_grad_threshold, floor,
+                extent, 20.0 if it > opt_cfg.opacity_reset_interval else None,
+                opt_cfg.percent_dense)
+        if (not long) and it % opt_cfg.opacity_reset_interval == 0 \
+                and it < densify_until:
+            state, gopt = G.reset_opacity(state, gopt)
+        if it > opt_cfg.densify_from_iter \
+                and it % opt_cfg.densification_interval == 0:
+            state, gopt = _prune_green_and_depth(
+                state, gopt, batch.camera_center[i], it, not long, max_sh)
+
+        if it % log_every == 0:
+            print(f"[face {it}/{iterations}] loss="
+                  f"{np.mean(losses[-log_every:]):.4f} "
+                  f"pts={int(state.num_alive())} "
+                  f"t={time.time()-t0:.0f}s", flush=True)
+        if eval_fn is not None and it % log_every == 0:
+            eval_fn(it, state, umf_params, pmf_params)
+
+    return dict(state=state, gopt=gopt, umf_params=umf_params,
+                umf_opt_state=umf_opt_state, pmf_params=pmf_params,
+                pmf_opt_state=pmf_opt_state, losses=losses,
+                cfg=cfg, extent=extent, max_sh_degree=max_sh)

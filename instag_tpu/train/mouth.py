@@ -1,0 +1,266 @@
+"""Few-shot mouth-interior adaptation trainer (reference train_mouth.py).
+
+Loads the pre-trained mouth UMF and the *trained* face checkpoint (frozen) —
+the face UMF's per-frame motion range conditions the mouth field
+(render_motion_mouth, k drawn uniformly from [10, 50] per step, :175-179).
+
+Specifics (cited from train_mouth.py):
+  * init cloud squeezed toward the mouth: xyz/2, y -= 0.05 (:77-79)
+  * AU25-percentile curriculum, large-open frames first (:125-148), plus a
+    mouth-mask >= 20 px visibility filter (:145-148)
+  * loss: L1+0.2(1-SSIM) on the mouth-masked green image with the
+    (lips_rect ⊻ mouth_mask) band painted background (:212-215); after warm:
+    PMF p_xyz reg 1e-5 and lips-rect alpha loss 1e-3 (:218-221)
+  * greenish splats are softened, not pruned: grad-accum halved, opacity
+    reset to 0.1, raw scales /10 (:276-280)
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import ModelConfig, OptimizationConfig
+from ..data.dataset import load_frames, random_init_points, scene_extent
+from ..models import gaussians as G
+from ..models.motion import (MotionNetwork, MouthMotionNetwork,
+                             PersonalizedMotionNetwork)
+from ..ops.rasterize import RasterizeConfig
+from ..render import render_motion_mouth
+from ..utils.general import inverse_sigmoid
+from ..utils.losses import l1_loss, ssim
+from ..utils.sh import eval_sh
+from .common import FrameBatch, build_frame_batch, gaussian_lrs, rect_mask
+from .optim import pmf_optimizer, umf_optimizer
+
+GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+
+
+@struct.dataclass
+class MouthFlags:
+    align: jnp.ndarray      # 0/1
+    use_regs: jnp.ndarray   # 0/1
+
+
+def make_mouth_step(cfg: RasterizeConfig, opt_cfg, mouth_net, pmf_net,
+                    face_net, spatial_lr_scale):
+    umf_tx = pmf_tx = None
+
+    def bind(u, p):
+        nonlocal umf_tx, pmf_tx
+        umf_tx, pmf_tx = u, p
+        return _step
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+    def _step(state, gopt, umf_params, umf_opt_state, pmf_params,
+              pmf_opt_state, face_state, face_umf_params, batch: FrameBatch,
+              i, it, k, flags: MouthFlags):
+        cam = batch.camera(i)
+        gt = batch.gt_image(i)
+        aud = batch.auds[i]
+        mouth_m = batch.mouth_mask[i]
+        h, w = cfg.image_height, cfg.image_width
+        rect = batch.lips_rect[i]
+        lips_m = rect_mask(h, w, rect)
+
+        offset0 = jnp.zeros((state.capacity, 2))
+        face_umf_frozen = jax.tree.map(jax.lax.stop_gradient, face_umf_params)
+
+        def loss_fn(gparams, umf_p, pmf_p, off):
+            st = state.replace(params=gparams)
+            mr = render_motion_mouth(
+                cfg, cam, st,
+                mouth_umf=lambda x, a, m: mouth_net.apply(umf_p, x, a, m),
+                face_state=face_state,
+                face_umf=lambda x, a, e: face_net.apply(face_umf_frozen, x, a, e),
+                aud=aud, bg=GREEN,
+                pmf=lambda x, a: pmf_net.apply(pmf_p, x, a),
+                personalized=False, align=flags.align, k=k,
+                means2d_offset=off)
+            out = mr.out
+            image = out.image
+            alpha = out.alpha
+
+            gt_green = jnp.where(mouth_m[None], gt, GREEN[:, None, None])
+            band = lips_m ^ mouth_m
+            img = jnp.where(band[None], GREEN[:, None, None], image)
+
+            loss = l1_loss(img, gt_green)
+            loss += opt_cfg.lambda_dssim * (1.0 - ssim(img, gt_green))
+            loss += flags.use_regs * 1e-5 * jnp.abs(mr.p_motion["p_xyz"]).mean()
+            lm = lips_m[None].astype(jnp.float32)
+            loss += flags.use_regs * 1e-3 * (
+                ((1 - alpha) * lm).mean() + (alpha * (1 - lm)).mean())
+            return loss, out
+
+        (loss, out), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+                state.params, umf_params, pmf_params, offset0)
+        g_gauss, g_umf, g_pmf, g_off = grads
+
+        lrs = gaussian_lrs(opt_cfg, it, spatial_lr_scale)
+        new_params, gopt = G.adam_update(state.params, g_gauss, gopt, lrs,
+                                         state.alive)
+        state = state.replace(params=new_params)
+        upd, umf_opt_state = umf_tx.update(g_umf, umf_opt_state, umf_params)
+        umf_params = jax.tree.map(lambda p, u: p + u, umf_params, upd)
+        updp, pmf_opt_state = pmf_tx.update(g_pmf, pmf_opt_state, pmf_params)
+        pmf_params = jax.tree.map(lambda p, u: p + u, pmf_params, updp)
+
+        visible = out.radii > 0
+        state = G.add_densification_stats(state, g_off, visible)
+        state = G.update_max_radii(state, out.radii, visible)
+        return state, gopt, umf_params, umf_opt_state, pmf_params, \
+            pmf_opt_state, loss
+
+    return bind
+
+
+@jax.jit
+def _soften_green(state: G.GaussianState, campos):
+    """Greenish mouth splats are softened (train_mouth.py:276-280)."""
+    feats = state.get_features()
+    dirs = state.params.xyz - campos[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    colors = jnp.maximum(
+        eval_sh(state.max_sh_degree, jnp.swapaxes(feats, -1, -2), dirs) + 0.5, 0.0)
+    green = ((colors[:, 0] < 100 / 255) & (colors[:, 1] > 180 / 255)
+             & (colors[:, 2] < 100 / 255)) & state.alive
+    accum = jnp.where(green, state.xyz_grad_accum / 2, state.xyz_grad_accum)
+    opacity = jnp.where(green[:, None],
+                        inverse_sigmoid(jnp.full_like(state.params.opacity, 0.1)),
+                        state.params.opacity)
+    scaling = jnp.where(green[:, None], state.params.scaling / 10,
+                        state.params.scaling)
+    params = state.params.replace(opacity=opacity, scaling=scaling)
+    return state.replace(params=params, xyz_grad_accum=accum)
+
+
+def sample_mouth_curriculum(rng, au25_vals, au25_pcts, mouth_px, stack, it,
+                            warm_step, iterations, select_interval=5):
+    """AU25 curriculum: widest-open frames first, window sliding down
+    (train_mouth.py:125-148)."""
+    if not stack:
+        stack.extend(range(len(au25_vals)))
+    idx = stack.pop(int(rng.integers(len(stack))))
+    lb_g, ub_g = au25_pcts[0], au25_pcts[2]   # p25, p75
+    mouth_step = 1.0 / max(iterations, 1)
+    tries = 0
+
+    def redraw():
+        nonlocal idx
+        if not stack:
+            stack.extend(range(len(au25_vals)))
+        idx = stack.pop(int(rng.integers(len(stack))))
+
+    if it < warm_step:
+        while au25_vals[idx] < ub_g and tries < 200:
+            redraw(); tries += 1
+    elif it % select_interval == 0:
+        au_ub = ub_g
+        au_lb = au_ub - mouth_step * it * (ub_g - lb_g)
+        while (au25_vals[idx] < au_lb or au25_vals[idx] > au_ub) and tries < 200:
+            redraw(); tries += 1
+    tries = 0
+    while mouth_px[idx] < 20 and tries < 200:
+        redraw(); tries += 1
+    return idx
+
+
+def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
+                face_bundle: dict, pretrain_bundle: dict | None = None,
+                long: bool = False, log_every: int = 500,
+                warm_step: int = 3000, seed: int = 0):
+    records = load_frames(model_cfg.source_path, "train",
+                          model_cfg.audio_extractor, model_cfg.N_views)
+    batch = build_frame_batch(records)
+    _, extent = scene_extent(records)
+    h, w = records[0].height, records[0].width
+    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
+
+    iterations = opt_cfg.iterations
+    densify_until = iterations - 1000 if not long else opt_cfg.densify_until_iter
+
+    capacity = model_cfg.resolve_capacity()
+    xyz, colors = random_init_points(model_cfg.init_num, seed)
+    xyz = xyz / 2.0
+    xyz[:, 1] -= 0.05                       # squeeze toward mouth (:77-79)
+    state = G.create_from_points(jnp.asarray(xyz), jnp.asarray(colors),
+                                 capacity, model_cfg.sh_degree, extent)
+    gopt = G.adam_init(state.params)
+
+    mouth_net = MouthMotionNetwork(model_cfg.audio_extractor)
+    pmf_net = PersonalizedMotionNetwork("mouth", model_cfg.audio_extractor)
+    face_net = MotionNetwork(model_cfg.audio_extractor)
+
+    key = jax.random.key(seed)
+    k1, k2, key = jax.random.split(key, 3)
+    x0, a0 = state.params.xyz[:8], batch.auds[0]
+    mv0 = jnp.zeros((1, 3))
+    umf_params = mouth_net.init(k1, x0, a0, mv0)
+    if pretrain_bundle is not None:
+        umf_params = jax.tree.map(jnp.asarray, pretrain_bundle["umf_params"])
+    pmf_params = pmf_net.init(k2, x0, a0)
+
+    face_state: G.GaussianState = face_bundle["state"]
+    face_umf_params = face_bundle["umf_params"]
+
+    umf_tx, umf_opt_state = umf_optimizer(
+        umf_params, total_iters=iterations, warm_step=warm_step, long=long)
+    pmf_tx, pmf_opt_state = pmf_optimizer(pmf_params)
+
+    step = make_mouth_step(cfg, opt_cfg, mouth_net, pmf_net, face_net,
+                           extent)(umf_tx, pmf_tx)
+
+    au25_vals = [r.au25[0] for r in records]
+    au25_pcts = records[0].au25[1:]
+    mouth_px = [int(r.mouth_mask.sum()) for r in records]
+    rng = np.random.default_rng(seed)
+    stack: list[int] = []
+    losses = []
+    t0 = time.time()
+
+    for it in range(1, iterations + 1):
+        if it % 1000 == 0:
+            state = G.one_up_sh_degree(state)
+        i = sample_mouth_curriculum(rng, au25_vals, au25_pcts, mouth_px,
+                                    stack, it, warm_step, iterations,
+                                    7 if long else 5)
+        k = int(rng.integers(10, 51))        # :175
+        flags = MouthFlags(align=jnp.float32(it > 1000),
+                           use_regs=jnp.float32(it > warm_step))
+        state, gopt, umf_params, umf_opt_state, pmf_params, pmf_opt_state, \
+            loss = step(state, gopt, umf_params, umf_opt_state, pmf_params,
+                        pmf_opt_state, face_state, face_umf_params, batch,
+                        i, it, k, flags)
+        losses.append(float(loss))
+
+        if it < densify_until and it > opt_cfg.densify_from_iter \
+                and it % opt_cfg.densification_interval == 0:
+            key, sub = jax.random.split(key)
+            floor = 0.05 + 0.25 * it / max(densify_until, 1)
+            state, gopt = G.densify_and_prune(
+                state, gopt, sub, opt_cfg.densify_grad_threshold, floor,
+                extent, 20.0 if it > opt_cfg.opacity_reset_interval else None,
+                opt_cfg.percent_dense)
+            if it > 2000:
+                state = _soften_green(state, batch.camera_center[i])
+        if (not long) and it % opt_cfg.opacity_reset_interval == 0 \
+                and it < densify_until:
+            state, gopt = G.reset_opacity(state, gopt)
+
+        if it % log_every == 0:
+            print(f"[mouth {it}/{iterations}] loss="
+                  f"{np.mean(losses[-log_every:]):.4f} "
+                  f"pts={int(state.num_alive())} t={time.time()-t0:.0f}s",
+                  flush=True)
+
+    return dict(state=state, gopt=gopt, umf_params=umf_params,
+                umf_opt_state=umf_opt_state, pmf_params=pmf_params,
+                pmf_opt_state=pmf_opt_state, losses=losses, cfg=cfg,
+                extent=extent)
