@@ -1,0 +1,595 @@
+"""Multi-identity Universal Motion Field pre-training (face + mouth branches).
+
+Reference parity (pretrain_face.py / pretrain_mouth.py, cited inline):
+  * one Gaussian cloud + PMF per identity, shared UMF; a random identity is
+    drawn every iteration (pretrain_face.py:156)
+  * UMF AdamW(5e-3/5e-4, betas .9/.99, eps 1e-8) with LambdaLR
+    0.5**(i/select_iter) then 0.1**(i/total) (:81-82) and an EMA(0.995)
+    shadow saved as the ema checkpoint (:83,137,429-434)
+  * warm phase (<1000·n face / <3000·n mouth) renders *statically* (:257-258)
+  * cross-identity contrastive hinge on the positive inner product between
+    the current identity's PMF d_xyz and other identities' PMFs evaluated at
+    the same (xyz, aud, exp) (:326-343); mouth uses one random other identity
+    (pretrain_mouth.py:253-276)
+  * face: eye-attn suppression in the lips rect at 5e-3 for both UMF and PMF
+    attention maps (:347-354); hair attn 1e-4 (:360-362)
+  * mouth: loss on mouth-masked green GT with the (lips ⊻ mouth) band painted
+    out (:219-225); greenish splats softened not pruned (:334-346)
+
+TPU design: identity PMFs are *stacked* along a leading axis and the
+contrastive term evaluates all of them in one vmap — the serialized per-
+identity loop in the reference becomes a single batched network evaluation
+(and the natural identity-sharding axis for multi-chip pre-training,
+SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import ModelConfig, OptimizationConfig
+from ..data.dataset import load_frames, random_init_points, scene_extent
+from ..models import gaussians as G
+from ..models.motion import (MotionNetwork, MouthMotionNetwork,
+                             PersonalizedMotionNetwork)
+from ..ops.rasterize import RasterizeConfig
+from ..render import render, render_motion, render_motion_mouth
+from ..utils.losses import l1_loss, ssim
+from ..utils.sh import eval_sh
+from .common import FrameBatch, build_frame_batch, gaussian_lrs, rect_mask
+from .optim import ema_update, label_tree, pmf_optimizer, umf_optimizer
+
+GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+
+
+@struct.dataclass
+class PretrainFlags:
+    use_regs: jnp.ndarray    # 0/1, iteration past warm
+    hair_paint: jnp.ndarray  # 0/1
+
+
+def _stack_pmfs(pmf_params_list):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *pmf_params_list)
+
+
+def _pick(tree, idx):
+    return jax.tree.map(lambda x: x[idx], tree)
+
+
+def _put(tree, idx, sub):
+    return jax.tree.map(lambda x, s: x.at[idx].set(s), tree, sub)
+
+
+def _base_image_loss(image, gt_masked, lambda_dssim):
+    return (l1_loss(image, gt_masked)
+            + lambda_dssim * (1.0 - ssim(image, gt_masked)))
+
+
+def make_warm_step(cfg, opt_cfg, spatial_lr_scale, mouth: bool):
+    """Static-render warm-up (pretrain_face.py:257-258)."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(state, gopt, batch: FrameBatch, i, it):
+        cam = batch.camera(i)
+        gt = batch.gt_image(i)
+        if mouth:
+            sel = batch.mouth_mask[i]
+        else:
+            sel = batch.face_mask[i] | batch.hair_mask[i]
+        gt_m = jnp.where(sel[None], gt, GREEN[:, None, None])
+        if not mouth:
+            gt_m = jnp.where(batch.mouth_mask[i][None], GREEN[:, None, None],
+                             gt_m)
+        offset0 = jnp.zeros((state.capacity, 2))
+
+        def loss_fn(params, off):
+            st = state.replace(params=params)
+            out = render(cfg, cam, st, GREEN, means2d_offset=off)
+            img = out.image
+            if mouth:
+                h, w = cfg.image_height, cfg.image_width
+                band = rect_mask(h, w, batch.lips_rect[i]) ^ batch.mouth_mask[i]
+                img = jnp.where(band[None], GREEN[:, None, None], img)
+            return _base_image_loss(img, gt_m, opt_cfg.lambda_dssim), out
+
+        (loss, out), (gp, goff) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, offset0)
+        lrs = gaussian_lrs(opt_cfg, it, spatial_lr_scale)
+        new_p, gopt = G.adam_update(state.params, gp, gopt, lrs, state.alive)
+        state = state.replace(params=new_p)
+        visible = out.radii > 0
+        state = G.add_densification_stats(state, goff, visible)
+        state = G.update_max_radii(state, out.radii, visible)
+        return state, gopt, loss
+
+    return step
+
+
+def make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net, spatial_lr_scale,
+                            num_ids: int, umf_tx, pmf_tx):
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+    def step(state, gopt, umf_params, umf_opt_state, pmf_stack, pmf_opt_stack,
+             ema_params, cur_id, batch: FrameBatch, i, it,
+             flags: PretrainFlags):
+        cam = batch.camera(i)
+        gt = batch.gt_image(i)
+        aud = batch.auds[i]
+        exp = batch.au_exp[i]
+        face_m, hair_m = batch.face_mask[i], batch.hair_mask[i]
+        mouth_m = batch.mouth_mask[i]
+        head_m = face_m | hair_m
+        h, w = cfg.image_height, cfg.image_width
+        rect = batch.lips_rect[i]
+        lips_m = rect_mask(h, w, rect).astype(jnp.float32)
+
+        pmf_cur = _pick(pmf_stack, cur_id)
+        pmf_others = jax.lax.stop_gradient(pmf_stack)
+        offset0 = jnp.zeros((state.capacity, 2))
+
+        def loss_fn(gparams, umf_p, pmf_p, off):
+            st = state.replace(params=gparams)
+            mr = render_motion(
+                cfg, cam, st,
+                umf=lambda x, a, e: umf_net.apply(umf_p, x, a, e),
+                aud=aud, exp=exp, bg=GREEN,
+                pmf=lambda x, a, e: pmf_net.apply(pmf_p, x, a, e),
+                personalized=True, align=False, return_attn=True,
+                means2d_offset=off)
+            out = mr.out
+            gt_w = jnp.where(head_m[None], gt, GREEN[:, None, None])
+            gt_w = jnp.where(mouth_m[None], GREEN[:, None, None], gt_w)
+            hp = flags.hair_paint
+            img = out.image * (1 - hp) + jnp.where(
+                hair_m[None], GREEN[:, None, None], out.image) * hp
+            gt_w = gt_w * (1 - hp) + jnp.where(
+                hair_m[None], GREEN[:, None, None], gt_w) * hp
+
+            loss = _base_image_loss(img, gt_w, opt_cfg.lambda_dssim)
+
+            m, pm = mr.motion, mr.p_motion
+            reg = (jnp.abs(m["d_xyz"]).mean() + jnp.abs(m["d_rot"]).mean()
+                   + jnp.abs(m["d_opa"]).mean() + jnp.abs(m["d_scale"]).mean())
+            reg += (jnp.abs(pm["d_xyz"]).mean() + jnp.abs(pm["d_rot"]).mean()
+                    + jnp.abs(pm["d_opa"]).mean() + jnp.abs(pm["d_scale"]).mean())
+            loss += flags.use_regs * 1e-5 * reg
+
+            hm = head_m[None].astype(jnp.float32)
+            loss += flags.use_regs * 1e-3 * (
+                ((1 - out.alpha) * hm).mean() + (out.alpha * (1 - hm)).mean())
+
+            # cross-identity contrastive hinge (pretrain_face.py:326-343):
+            # other identities' PMFs at the same (xyz, aud, exp), batched.
+            if num_ids > 1:
+                xyz = jax.lax.stop_gradient(gparams.xyz)
+
+                def other_dxyz(p_other):
+                    return pmf_net.apply(p_other, xyz, aud, exp)["d_xyz"]
+
+                all_dxyz = jax.vmap(other_dxyz)(pmf_others)  # [n, N, 3]
+                dots = jnp.sum(all_dxyz * pm["d_xyz"][None], -1)  # [n, N]
+                dots = jnp.maximum(dots, 0.0)
+                not_self = (jnp.arange(num_ids) != cur_id)[:, None]
+                loss += flags.use_regs * jnp.sum(
+                    jnp.mean(jnp.where(not_self, dots, 0.0), axis=-1))
+
+            # eye-attention suppression in the lips rect, UMF + PMF (:347-354)
+            lsum = jnp.maximum(lips_m.sum(), 1.0)
+            loss += flags.use_regs * 5e-3 * (mr.attn[1] * lips_m).sum() / lsum
+            loss += flags.use_regs * 5e-3 * (mr.p_attn[1] * lips_m).sum() / lsum
+
+            hmf = hair_m.astype(jnp.float32)
+            attn_hair = ((mr.attn[1] * hmf).sum() + (mr.attn[0] * hmf).sum()
+                         ) / jnp.maximum(hmf.sum(), 1.0)
+            loss += flags.use_regs * (1 - hp) * 1e-4 * attn_hair
+            return loss, out
+
+        (loss, out), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+                state.params, umf_params, pmf_cur, offset0)
+        g_gauss, g_umf, g_pmf, g_off = grads
+
+        lrs = gaussian_lrs(opt_cfg, it, spatial_lr_scale)
+        new_p, gopt = G.adam_update(state.params, g_gauss, gopt, lrs,
+                                    state.alive)
+        state = state.replace(params=new_p)
+
+        upd, umf_opt_state = umf_tx.update(g_umf, umf_opt_state, umf_params)
+        umf_params = jax.tree.map(lambda p, u: p + u, umf_params, upd)
+        ema_params = ema_update(ema_params, umf_params, 0.995)
+
+        pmf_opt_cur = _pick(pmf_opt_stack, cur_id)
+        updp, pmf_opt_cur = pmf_tx.update(g_pmf, pmf_opt_cur, pmf_cur)
+        pmf_cur = jax.tree.map(lambda p, u: p + u, pmf_cur, updp)
+        pmf_stack = _put(pmf_stack, cur_id, pmf_cur)
+        pmf_opt_stack = _put(pmf_opt_stack, cur_id, pmf_opt_cur)
+
+        visible = out.radii > 0
+        state = G.add_densification_stats(state, g_off, visible)
+        state = G.update_max_radii(state, out.radii, visible)
+        return (state, gopt, umf_params, umf_opt_state, pmf_stack,
+                pmf_opt_stack, ema_params, loss)
+
+    return step
+
+
+def make_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net, face_net,
+                             spatial_lr_scale, num_ids: int, umf_tx, pmf_tx):
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+    def step(state, gopt, umf_params, umf_opt_state, pmf_stack, pmf_opt_stack,
+             ema_params, cur_id, other_id, face_state, face_umf_params,
+             batch: FrameBatch, i, it, flags: PretrainFlags):
+        cam = batch.camera(i)
+        gt = batch.gt_image(i)
+        aud = batch.auds[i]
+        mouth_m = batch.mouth_mask[i]
+        h, w = cfg.image_height, cfg.image_width
+        lips_m = rect_mask(h, w, batch.lips_rect[i])
+
+        pmf_cur = _pick(pmf_stack, cur_id)
+        face_umf_frozen = jax.tree.map(jax.lax.stop_gradient, face_umf_params)
+        offset0 = jnp.zeros((state.capacity, 2))
+
+        def loss_fn(gparams, umf_p, pmf_p, off):
+            st = state.replace(params=gparams)
+            mr = render_motion_mouth(
+                cfg, cam, st,
+                mouth_umf=lambda x, a, m: umf_net.apply(umf_p, x, a, m),
+                face_state=face_state,
+                face_umf=lambda x, a, e: face_net.apply(face_umf_frozen, x, a, e),
+                aud=aud, bg=GREEN,
+                pmf=lambda x, a: pmf_net.apply(pmf_p, x, a),
+                personalized=True, align=False,
+                means2d_offset=off)
+            out = mr.out
+            gt_g = jnp.where(mouth_m[None], gt, GREEN[:, None, None])
+            band = lips_m ^ mouth_m
+            img = jnp.where(band[None], GREEN[:, None, None], out.image)
+
+            loss = _base_image_loss(img, gt_g, opt_cfg.lambda_dssim)
+            m, pm = mr.motion, mr.p_motion
+            loss += flags.use_regs * 1e-5 * (
+                jnp.abs(m["d_xyz"]).mean() + jnp.abs(m["d_rot"]).mean()
+                + jnp.abs(pm["d_xyz"]).mean() + jnp.abs(pm["d_rot"]).mean())
+            lm = lips_m[None].astype(jnp.float32)
+            loss += flags.use_regs * 1e-3 * (
+                ((1 - out.alpha) * lm).mean() + (out.alpha * (1 - lm)).mean())
+
+            # contrastive against one random other identity (:253-276)
+            if num_ids > 1:
+                xyz = jax.lax.stop_gradient(gparams.xyz)
+                p_other = jax.lax.stop_gradient(_pick(pmf_stack, other_id))
+                other = pmf_net.apply(p_other, xyz, aud)["d_xyz"]
+                dots = jnp.maximum(jnp.sum(other * pm["d_xyz"], -1), 0.0)
+                loss += flags.use_regs * dots.mean()
+            return loss, out
+
+        (loss, out), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+                state.params, umf_params, pmf_cur, offset0)
+        g_gauss, g_umf, g_pmf, g_off = grads
+
+        lrs = gaussian_lrs(opt_cfg, it, spatial_lr_scale)
+        new_p, gopt = G.adam_update(state.params, g_gauss, gopt, lrs,
+                                    state.alive)
+        state = state.replace(params=new_p)
+        upd, umf_opt_state = umf_tx.update(g_umf, umf_opt_state, umf_params)
+        umf_params = jax.tree.map(lambda p, u: p + u, umf_params, upd)
+        ema_params = ema_update(ema_params, umf_params, 0.995)
+
+        pmf_opt_cur = _pick(pmf_opt_stack, cur_id)
+        updp, pmf_opt_cur = pmf_tx.update(g_pmf, pmf_opt_cur, pmf_cur)
+        pmf_cur = jax.tree.map(lambda p, u: p + u, pmf_cur, updp)
+        pmf_stack = _put(pmf_stack, cur_id, pmf_cur)
+        pmf_opt_stack = _put(pmf_opt_stack, cur_id, pmf_opt_cur)
+
+        visible = out.radii > 0
+        state = G.add_densification_stats(state, g_off, visible)
+        state = G.update_max_radii(state, out.radii, visible)
+        return (state, gopt, umf_params, umf_opt_state, pmf_stack,
+                pmf_opt_stack, ema_params, loss)
+
+    return step
+
+
+def _load_identity(model_cfg: ModelConfig, name: str, capacity: int,
+                   mouth: bool, seed: int):
+    src = os.path.join(model_cfg.source_path, name)
+    records = load_frames(src, "train", model_cfg.audio_extractor, -1)
+    batch = build_frame_batch(records)
+    _, extent = scene_extent(records)
+    xyz, colors = random_init_points(model_cfg.init_num, seed)
+    if mouth:
+        xyz = xyz / 2.0
+        xyz[:, 1] -= 0.05                    # pretrain_mouth.py:76-77
+    state = G.create_from_points(jnp.asarray(xyz), jnp.asarray(colors),
+                                 capacity, model_cfg.sh_degree, extent)
+    meta = dict(
+        mouth=[r.mouth_bound[2] for r in records],
+        blink=[r.blink for r in records],
+        au25=[r.au25[0] for r in records],
+        au25_pcts=records[0].au25[1:],
+        mouth_px=[int(r.mouth_mask.sum()) for r in records],
+        mouth_lb=records[0].mouth_bound[0],
+        mouth_ub=records[0].mouth_bound[1],
+        extent=extent,
+    )
+    return records, batch, state, meta
+
+
+def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
+                  data_list: list[str], log_every: int = 500, seed: int = 0,
+                  warm_per_id: int = 1000):
+    """Multi-identity face UMF pre-training (pretrain_face.py)."""
+    n = len(data_list)
+    iterations = opt_cfg.iterations * n
+    warm_step = warm_per_id * n
+    densify_until = (opt_cfg.iterations - 1000) * n
+    select_iter = max((opt_cfg.iterations - 10000) * n, 1)
+    select_interval = 15
+
+    capacity = model_cfg.resolve_capacity()
+    ids = [_load_identity(model_cfg, name, capacity, False, seed + k)
+           for k, name in enumerate(data_list)]
+    h, w = ids[0][0][0].height, ids[0][0][0].width
+    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
+
+    states = [x[2] for x in ids]
+    batches = [x[1] for x in ids]
+    metas = [x[3] for x in ids]
+    gopts = [G.adam_init(s.params) for s in states]
+
+    umf_net = MotionNetwork(model_cfg.audio_extractor)
+    pmf_net = PersonalizedMotionNetwork("face", model_cfg.audio_extractor)
+    key = jax.random.key(seed)
+    keys = jax.random.split(key, n + 2)
+    x0, a0, e0 = states[0].params.xyz[:8], batches[0].auds[0], batches[0].au_exp[0]
+    umf_params = umf_net.init(keys[0], x0, a0, e0)
+    pmf_list = [pmf_net.init(keys[1 + k], x0, a0, e0) for k in range(n)]
+    pmf_stack = _stack_pmfs(pmf_list)
+    ema_params = jax.tree.map(jnp.array, umf_params)
+
+    # LambdaLR: 0.5**(i/select_iter) before select_iter else 0.1**(i/total)
+    def sched_mult(step):
+        s = jnp.asarray(step, jnp.float32)
+        return jnp.where(s < select_iter, 0.5 ** (s / select_iter),
+                         0.1 ** (s / iterations))
+
+    import optax
+    from .optim import label_tree as _lt
+
+    def adamw(base_lr, wd):
+        return optax.adamw(lambda s: base_lr * sched_mult(s), b1=0.9, b2=0.99,
+                           eps=1e-8, weight_decay=wd)
+    umf_tx = optax.multi_transform(
+        {"net": adamw(5e-4, 0.0), "encoder": adamw(5e-3, 0.01),
+         "audio_att": adamw(5e-4 * 5, 1e-4), "align": adamw(5e-4 / 2, 0.0)},
+        _lt(umf_params))
+    umf_opt_state = umf_tx.init(umf_params)
+    pmf_tx, pmf_opt_one = pmf_optimizer(pmf_list[0])
+    pmf_opt_stack = _stack_pmfs([jax.tree.map(jnp.array, pmf_opt_one)
+                                 for _ in range(n)])
+
+    extent = metas[0]["extent"]
+    warm = make_warm_step(cfg, opt_cfg, extent, mouth=False)
+    motion_step = make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net,
+                                          extent, n, umf_tx, pmf_tx)
+
+    from .face import sample_frame_curriculum
+    rng = np.random.default_rng(seed)
+    stacks = [[] for _ in range(n)]
+    key = keys[-1]
+    losses = []
+    t0 = time.time()
+    mouth_step_rate = 1.0 / select_iter
+
+    for it in range(1, iterations + 1):
+        sid = int(rng.integers(n))
+        state, gopt, batch, meta = states[sid], gopts[sid], batches[sid], metas[sid]
+        if it % 1000 == 0:
+            state = G.one_up_sh_degree(state)
+
+        i = _sample_face_curriculum(rng, meta, stacks[sid], it, warm_step,
+                                    select_iter, select_interval)
+        if it < warm_step:
+            state, gopt, loss = warm(state, gopt, batch, i, it)
+        else:
+            flags = PretrainFlags(
+                use_regs=jnp.float32(it > warm_step),
+                hair_paint=jnp.float32(it > warm_step and it % 7 != 0))
+            (state, gopt, umf_params, umf_opt_state, pmf_stack,
+             pmf_opt_stack, ema_params, loss) = motion_step(
+                state, gopt, umf_params, umf_opt_state, pmf_stack,
+                pmf_opt_stack, ema_params, sid, batch, i, it, flags)
+        losses.append(float(loss))
+
+        if it < densify_until and it > opt_cfg.densify_from_iter \
+                and it % opt_cfg.densification_interval == 0:
+            key, sub = jax.random.split(key)
+            floor = 0.05 + 0.25 * it / densify_until
+            state, gopt = G.densify_and_prune(
+                state, gopt, sub, opt_cfg.densify_grad_threshold, floor,
+                meta["extent"],
+                20.0 if it > opt_cfg.opacity_reset_interval else None,
+                opt_cfg.percent_dense)
+            state, gopt = _prune_green(state, gopt, batch.camera_center[i])
+        states[sid], gopts[sid] = state, gopt
+
+        if it % log_every == 0:
+            print(f"[pretrain_face {it}/{iterations}] "
+                  f"loss={np.mean(losses[-log_every:]):.4f} "
+                  f"pts={[int(s.num_alive()) for s in states]} "
+                  f"t={time.time()-t0:.0f}s", flush=True)
+
+    return dict(umf_params=umf_params, ema_params=ema_params,
+                umf_opt_state=umf_opt_state,
+                pmf_stack=pmf_stack, states=states, gopts=gopts,
+                data_list=data_list, losses=losses, cfg=cfg)
+
+
+def _sample_face_curriculum(rng, meta, stack, it, warm_step, select_iter,
+                            select_interval):
+    n_frames = len(meta["mouth"])
+    if not stack:
+        stack.extend(range(n_frames))
+    idx = stack.pop(int(rng.integers(len(stack))))
+    if it % select_interval != 0:
+        return idx
+    step_rate = 1.0 / max(select_iter, 1)
+    if it < warm_step:
+        lb, ub = meta["mouth_lb"], meta["mouth_ub"]
+        lb = lb + (ub - lb) * 0.2
+        window = (ub - lb) * 0.2                 # pretrain_face.py:176
+        lo = lb + step_rate * it * (ub - lb)
+        hi = lo + window
+        lo -= window
+        vals = meta["mouth"]
+    else:
+        window = 0.3                              # :205
+        lo = step_rate * it
+        hi = lo + window
+        lo -= window * 0.5
+        vals = meta["blink"]
+    for _ in range(100):
+        if lo <= vals[idx] <= hi:
+            return idx
+        if not stack:
+            stack.extend(range(n_frames))
+        idx = stack.pop(int(rng.integers(len(stack))))
+    return idx
+
+
+@jax.jit
+def _prune_green(state, opt, campos):
+    feats = state.get_features()
+    dirs = state.params.xyz - campos[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    colors = jnp.maximum(
+        eval_sh(state.max_sh_degree, jnp.swapaxes(feats, -1, -2), dirs) + 0.5, 0.0)
+    green = ((colors[:, 0] < 30 / 255) & (colors[:, 1] > 225 / 255)
+             & (colors[:, 2] < 30 / 255))
+    return G.prune_mask(state, opt, green)
+
+
+def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
+                   data_list: list[str], face_result: dict,
+                   log_every: int = 500, seed: int = 0,
+                   warm_per_id: int = 3000):
+    """Multi-identity mouth UMF pre-training (pretrain_mouth.py); consumes
+    the face pre-training result (per-identity face clouds + EMA face UMF)."""
+    n = len(data_list)
+    iterations = opt_cfg.iterations * n
+    warm_step = warm_per_id * n
+    densify_until = (opt_cfg.iterations - 1000) * n
+    select_iter = max((opt_cfg.iterations - 10000) * n, 1)
+    select_interval = 7
+
+    capacity = model_cfg.resolve_capacity()
+    ids = [_load_identity(model_cfg, name, capacity, True, seed + 7 * k)
+           for k, name in enumerate(data_list)]
+    h, w = ids[0][0][0].height, ids[0][0][0].width
+    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
+
+    states = [x[2] for x in ids]
+    batches = [x[1] for x in ids]
+    metas = [x[3] for x in ids]
+    gopts = [G.adam_init(s.params) for s in states]
+
+    # frozen per-identity face clouds + EMA face UMF (pretrain_mouth.py:80-98)
+    face_states = face_result["states"]
+    face_umf_params = face_result["ema_params"]
+
+    umf_net = MouthMotionNetwork(model_cfg.audio_extractor)
+    pmf_net = PersonalizedMotionNetwork("mouth", model_cfg.audio_extractor)
+    face_net = MotionNetwork(model_cfg.audio_extractor)
+
+    key = jax.random.key(seed + 99)
+    keys = jax.random.split(key, n + 2)
+    x0, a0 = states[0].params.xyz[:8], batches[0].auds[0]
+    umf_params = umf_net.init(keys[0], x0, a0, jnp.zeros((1, 3)))
+    pmf_list = [pmf_net.init(keys[1 + k], x0, a0) for k in range(n)]
+    pmf_stack = _stack_pmfs(pmf_list)
+    ema_params = jax.tree.map(jnp.array, umf_params)
+
+    import optax
+
+    def sched_mult(step):
+        s = jnp.asarray(step, jnp.float32)
+        return jnp.where(s < select_iter, 0.5 ** (s / select_iter),
+                         0.1 ** (s / iterations))
+
+    def adamw(base_lr, wd):
+        return optax.adamw(lambda s: base_lr * sched_mult(s), b1=0.9, b2=0.99,
+                           eps=1e-8, weight_decay=wd)
+    umf_tx = optax.multi_transform(
+        {"net": adamw(5e-4, 0.0), "encoder": adamw(5e-3, 0.01),
+         "audio_att": adamw(5e-4 * 5, 1e-4), "align": adamw(5e-4 / 2, 0.0)},
+        label_tree(umf_params))
+    umf_opt_state = umf_tx.init(umf_params)
+    pmf_tx, pmf_opt_one = pmf_optimizer(pmf_list[0])
+    pmf_opt_stack = _stack_pmfs([jax.tree.map(jnp.array, pmf_opt_one)
+                                 for _ in range(n)])
+
+    extent = metas[0]["extent"]
+    warm = make_warm_step(cfg, opt_cfg, extent, mouth=True)
+    motion_step = make_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net,
+                                           face_net, extent, n, umf_tx, pmf_tx)
+
+    from .mouth import sample_mouth_curriculum, _soften_green
+    rng = np.random.default_rng(seed)
+    stacks = [[] for _ in range(n)]
+    key = keys[-1]
+    losses = []
+    t0 = time.time()
+
+    for it in range(1, iterations + 1):
+        sid = int(rng.integers(n))
+        state, gopt, batch, meta = states[sid], gopts[sid], batches[sid], metas[sid]
+        if it % 1000 == 0:
+            state = G.one_up_sh_degree(state)
+        i = sample_mouth_curriculum(rng, meta["au25"], meta["au25_pcts"],
+                                    meta["mouth_px"], stacks[sid], it,
+                                    warm_step, select_iter, select_interval)
+        if it < warm_step:
+            state, gopt, loss = warm(state, gopt, batch, i, it)
+        else:
+            other = sid if n == 1 else int(rng.choice(
+                [k for k in range(n) if k != sid]))
+            flags = PretrainFlags(use_regs=jnp.float32(it > warm_step),
+                                  hair_paint=jnp.float32(0))
+            (state, gopt, umf_params, umf_opt_state, pmf_stack,
+             pmf_opt_stack, ema_params, loss) = motion_step(
+                state, gopt, umf_params, umf_opt_state, pmf_stack,
+                pmf_opt_stack, ema_params, sid, other, face_states[sid],
+                face_umf_params, batch, i, it, flags)
+        losses.append(float(loss))
+
+        if it < densify_until and it > opt_cfg.densify_from_iter \
+                and it % opt_cfg.densification_interval == 0:
+            key, sub = jax.random.split(key)
+            floor = 0.05 + 0.25 * it / densify_until
+            state, gopt = G.densify_and_prune(
+                state, gopt, sub, opt_cfg.densify_grad_threshold, floor,
+                meta["extent"],
+                20.0 if it > opt_cfg.opacity_reset_interval else None,
+                opt_cfg.percent_dense)
+            state = _soften_green(state, batch.camera_center[i])
+        states[sid], gopts[sid] = state, gopt
+
+        if it % log_every == 0:
+            print(f"[pretrain_mouth {it}/{iterations}] "
+                  f"loss={np.mean(losses[-log_every:]):.4f} "
+                  f"t={time.time()-t0:.0f}s", flush=True)
+
+    return dict(umf_params=umf_params, ema_params=ema_params,
+                umf_opt_state=umf_opt_state, pmf_stack=pmf_stack,
+                states=states, gopts=gopts, data_list=data_list,
+                losses=losses, cfg=cfg)
