@@ -1,0 +1,45 @@
+"""CLI: fused synthesis to video (reference synthesize_fuse.py __main__).
+
+    python -m instag_tpu.cli.synthesize_fuse -m output/<run> -s data/<id> \
+        [--use_train] [--audio feats.npy] [--dilate] [--personalized] [--fast]
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from ..config import load_cfg, make_parser, parse_all
+from ..io.checkpoints import load_bundle, state_from_dict
+from ..synthesize import synthesize
+
+
+def main(argv=None):
+    parser = make_parser("Fused synthesis")
+    parser.add_argument("--use_train", action="store_true")
+    parser.add_argument("--dilate", action="store_true")
+    parser.add_argument("--personalized", action="store_true")
+    parser.add_argument("--fast", action="store_true")
+    mc, _, _, args = parse_all(parser, argv)
+    # merge persisted train-time config (reference get_combined_args)
+    if os.path.exists(os.path.join(mc.model_path, "cfg_args.json")):
+        saved = load_cfg(mc.model_path)
+        if not mc.source_path:
+            mc.source_path = saved.source_path
+        mc.audio_extractor = saved.audio_extractor
+        mc.max_per_tile = saved.max_per_tile
+
+    bundle = load_bundle(os.path.join(mc.model_path, "chkpnt_fuse_latest.pkl"))
+    bundle["face_state"] = state_from_dict(bundle["face_state"])
+    bundle["mouth_state"] = state_from_dict(bundle["mouth_state"])
+
+    split = "train" if args.use_train else "val"
+    out = os.path.join(mc.model_path, "out.mp4")
+    video, fps = synthesize(mc, bundle, split=split, audio_file=mc.audio,
+                            dilate=args.dilate,
+                            personalized=args.personalized, out_path=out)
+    print(f"wrote {out}: {video.shape[0]} frames @ {fps:.1f} FPS synthesis")
+
+
+if __name__ == "__main__":
+    main()

@@ -143,7 +143,8 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
     # au.csv with the OpenFace columns the reader needs
     import pandas as pd
     cols = {}
-    for i_au in [1, 4, 5, 6, 7, 25, 45]:
+    # full OpenFace intensity column set (needed by the AU-error metric)
+    for i_au in [1, 2, 4, 5, 6, 7, 9, 10, 12, 14, 15, 17, 20, 23, 25, 26, 45]:
         cols[f"AU{i_au:02d}_r"] = np.abs(
             rng.normal(0.5, 0.3, total)).astype(np.float32)
     cols["AU25_r"] = (1.2 + np.sin(2 * np.pi * t / 10.0)).astype(np.float32)

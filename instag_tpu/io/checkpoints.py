@@ -96,6 +96,34 @@ def load_gaussian_ply(path: str, capacity: int,
         spatial_lr_scale=1.0, max_sh_degree=max_sh_degree)
 
 
+def state_to_dict(state: GaussianState) -> dict:
+    """GaussianState -> plain numpy dict (for bundles)."""
+    return {
+        "params": {k: np.asarray(getattr(state.params, k))
+                   for k in state.params.__dataclass_fields__},
+        "alive": np.asarray(state.alive),
+        "max_radii2d": np.asarray(state.max_radii2d),
+        "xyz_grad_accum": np.asarray(state.xyz_grad_accum),
+        "denom": np.asarray(state.denom),
+        "active_sh_degree": int(state.active_sh_degree),
+        "spatial_lr_scale": float(state.spatial_lr_scale),
+        "max_sh_degree": int(state.max_sh_degree),
+    }
+
+
+def state_from_dict(d: dict) -> GaussianState:
+    params = GaussianParams(**{k: jnp.asarray(v)
+                               for k, v in d["params"].items()})
+    return GaussianState(
+        params=params, alive=jnp.asarray(d["alive"]),
+        max_radii2d=jnp.asarray(d["max_radii2d"]),
+        xyz_grad_accum=jnp.asarray(d["xyz_grad_accum"]),
+        denom=jnp.asarray(d["denom"]),
+        active_sh_degree=jnp.int32(d["active_sh_degree"]),
+        spatial_lr_scale=d["spatial_lr_scale"],
+        max_sh_degree=d["max_sh_degree"])
+
+
 def save_bundle(path: str, bundle: dict) -> None:
     """Save a pytree-of-arrays training bundle (np-ified pickle)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -64,8 +64,10 @@ class LPIPS(nn.Module):
         t1 = feats(img1)
         total = 0.0
         for i, (a, b) in enumerate(zip(t0, t1)):
-            a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-10)
-            b = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-10)
+            # eps inside the sqrt: plain L2-normalize has a NaN gradient at
+            # all-zero (ReLU-dead) pixels
+            a = a * jax.lax.rsqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-10)
+            b = b * jax.lax.rsqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-10)
             d = (a - b) ** 2
             w = self.param(f"lin_{i}",
                            lambda key, c=d.shape[-1]: jnp.ones((c,)) / c)

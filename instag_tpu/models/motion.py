@@ -30,6 +30,12 @@ from .nets import MLP, AudioAttNet, AudioNet, AudioNetAVE
 AUDIO_IN_DIM = {"esperanto": 44, "deepspeech": 29, "hubert": 1024, "ave": 32}
 
 
+def _safe_norm(x, eps=1e-12):
+    """L2 norm with a finite gradient at zero (post-ReLU vectors can be
+    exactly zero; plain norm has a NaN gradient there)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps)
+
+
 def audio_in_dim(extractor: str) -> int:
     for key, dim in AUDIO_IN_DIM.items():
         if key in extractor:
@@ -97,8 +103,8 @@ class MotionNetwork(nn.Module):
             "d_rot": h[..., 3:7],
             "d_opa": h[..., 7:8],
             "d_scale": h[..., 8:11],
-            "ambient_aud": jnp.linalg.norm(aud_ch_att, axis=-1, keepdims=True),
-            "ambient_eye": jnp.linalg.norm(eye_att, axis=-1, keepdims=True),
+            "ambient_aud": _safe_norm(aud_ch_att),
+            "ambient_eye": _safe_norm(eye_att),
         }
 
 
@@ -176,7 +182,7 @@ class PersonalizedMotionNetwork(nn.Module):
             enc_e = jnp.concatenate([enc_e, e[-1:]], axis=-1)
             enc_e = enc_e[None, :] * eye_att
             h = jnp.concatenate([h, enc_e], axis=-1)
-            ambient_eye = jnp.linalg.norm(eye_att, axis=-1, keepdims=True)
+            ambient_eye = _safe_norm(eye_att)
 
         h = self.sigma_net(h)
         d_xyz = h[..., :3] * 1e-2
@@ -190,7 +196,7 @@ class PersonalizedMotionNetwork(nn.Module):
             "d_rot": d_rot,
             "d_opa": d_opa,
             "d_scale": d_scale,
-            "ambient_aud": jnp.linalg.norm(aud_ch_att, axis=-1, keepdims=True),
+            "ambient_aud": _safe_norm(aud_ch_att),
             "ambient_eye": ambient_eye,
             "p_xyz": p[..., :3] * 1e-2,
             "p_scale": jnp.tanh(p[..., 3:] / 5.0) * 0.25 + 1.0,

@@ -119,8 +119,27 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
 
     video = np.stack(frames)
     if out_path:
-        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-        import imageio
-        imageio.mimwrite(out_path, video, fps=fps,
-                         quality=8, macro_block_size=1)
+        write_video(out_path, video, fps)
     return video, achieved_fps
+
+
+def write_video(out_path: str, video: np.ndarray, fps: int = 25) -> None:
+    """Write [T,H,W,3] uint8 frames to mp4. Prefers OpenCV (this image has
+    no ffmpeg); falls back to an .npz frame dump next to the target path."""
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    try:
+        import cv2
+        h, w = video.shape[1:3]
+        writer = cv2.VideoWriter(out_path,
+                                 cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        ok = writer.isOpened()
+        if ok:
+            for frame in video:
+                writer.write(frame[:, :, ::-1])  # RGB -> BGR
+        writer.release()
+        if ok:
+            return
+    except Exception:
+        pass
+    np.savez_compressed(out_path + ".frames.npz", video=video, fps=fps)

@@ -1,0 +1,19 @@
+#!/usr/bin/env bash
+# Pre-training pipeline (reference scripts/pretrain_con.sh):
+#   face UMF (init 2000, grad thresh 5e-4, 30k iters/identity)
+#   -> mouth UMF (init 5000, 30k iters/identity)
+# Usage: bash scripts/pretrain_con.sh <dataset_root> <out_dir> [audio_extractor]
+set -euo pipefail
+DATA=${1:?dataset root containing per-identity dirs}
+OUT=${2:?output dir}
+EXTRACTOR=${3:-deepspeech}
+
+python -m instag_tpu.cli.pretrain_face \
+    --source_path "$DATA" --model_path "$OUT" \
+    --audio_extractor "$EXTRACTOR" --type face \
+    --init_num 2000 --iterations 30000 --densify_grad_threshold 5e-4
+
+python -m instag_tpu.cli.pretrain_mouth \
+    --source_path "$DATA" --model_path "$OUT" \
+    --audio_extractor "$EXTRACTOR" --type mouth \
+    --init_num 5000 --iterations 30000

@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Few-shot adaptation pipeline (reference scripts/train_xx_few.sh):
+#   train_face (10k, N_views 250) -> train_mouth (10k) -> train_fuse (2k)
+#   -> synthesize -> metrics
+# Usage: bash scripts/train_few.sh <data_dir> <out_dir> [pretrain_dir] [extractor] [n_views]
+set -euo pipefail
+DATA=${1:?preprocessed identity dir}
+OUT=${2:?output dir}
+PRETRAIN=${3:-}
+EXTRACTOR=${4:-deepspeech}
+NVIEWS=${5:-250}
+
+FACE_PRE=""
+MOUTH_PRE=""
+if [[ -n "$PRETRAIN" ]]; then
+    FACE_PRE="--pretrain_path $PRETRAIN/chkpnt_ema_face_latest.pkl"
+    MOUTH_PRE="--pretrain_path $PRETRAIN/chkpnt_ema_mouth_latest.pkl"
+fi
+
+python -m instag_tpu.cli.train_face \
+    --source_path "$DATA" --model_path "$OUT" \
+    --audio_extractor "$EXTRACTOR" --type face \
+    --init_num 1000 --N_views "$NVIEWS" --iterations 10000 \
+    --sh_degree 1 $FACE_PRE
+
+python -m instag_tpu.cli.train_mouth \
+    --source_path "$DATA" --model_path "$OUT" \
+    --audio_extractor "$EXTRACTOR" --type mouth \
+    --init_num 1000 --N_views "$NVIEWS" --iterations 10000 $MOUTH_PRE
+
+python -m instag_tpu.cli.train_fuse_con \
+    --source_path "$DATA" --model_path "$OUT" \
+    --audio_extractor "$EXTRACTOR" --N_views "$NVIEWS" --iterations 2000
+
+python -m instag_tpu.cli.synthesize_fuse \
+    --source_path "$DATA" --model_path "$OUT" --dilate
