@@ -34,7 +34,7 @@ def make_scene(n=120, seed=0, sh_deg=1):
 @pytest.mark.parametrize("sh_deg", [0, 1, 2])
 def test_matches_bruteforce_oracle(sh_deg):
     H = W = 64
-    cfg = RasterizeConfig(H, W, max_per_tile=160, tile_chunk=8)
+    cfg = RasterizeConfig(H, W, max_per_tile=160, tile_chunk=8, approx_topk=False)
     view, full, campos, tanfov = make_camera(H, W)
     means, opac, scales, rots, shs = make_scene(n=120, sh_deg=sh_deg)
     bg = jnp.array([0.1, 0.2, 0.3], jnp.float32)
@@ -53,7 +53,7 @@ def test_matches_bruteforce_oracle(sh_deg):
 
 def test_colors_precomp_path():
     H = W = 32
-    cfg = RasterizeConfig(H, W, max_per_tile=64, tile_chunk=4)
+    cfg = RasterizeConfig(H, W, max_per_tile=64, tile_chunk=4, approx_topk=False)
     view, full, campos, tanfov = make_camera(H, W)
     means, opac, scales, rots, _ = make_scene(n=40)
     colors = jnp.asarray(np.random.default_rng(1).uniform(size=(40, 3)).astype(np.float32))
@@ -189,3 +189,21 @@ def test_nondivisible_image_size():
         means, opac, scales, rots, view, full, campos, tanfov, tanfov, bg)
     assert out.image.shape == (3, H, W)
     assert out.alpha.shape == (1, H, W)
+
+
+def test_approx_topk_close_to_exact():
+    """approx_max_k selection must stay visually equivalent to exact."""
+    H = W = 64
+    view, full, campos, tanfov = make_camera(H, W)
+    means, opac, scales, rots, shs = make_scene(n=300, seed=7)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    imgs = {}
+    for approx in (False, True):
+        cfg = RasterizeConfig(H, W, max_per_tile=128, tile_chunk=8,
+                              approx_topk=approx)
+        imgs[approx] = np.asarray(jax.jit(
+            lambda *a: rasterize(cfg, *a, shs=shs, sh_degree=1))(
+            means, opac, scales, rots, view, full, campos, tanfov, tanfov,
+            bg).image)
+    err = np.abs(imgs[True] - imgs[False]).mean()
+    assert err < 5e-3, f"approx selection deviates: mean |err|={err}"
