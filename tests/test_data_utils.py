@@ -1,0 +1,162 @@
+"""Offline preprocessing pipeline tests (native tasks only)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from instag_tpu.data_utils.process import (euler2rot, extract_background,
+                                           extract_images,
+                                           extract_torso_and_gt,
+                                           load_track_params, save_transforms)
+from instag_tpu.data_utils.tracker import (canonical_landmarks_3d, rot2euler,
+                                           track_poses, _RIGID)
+from instag_tpu.data_utils.audio_features import make_frame_windows
+
+
+def test_euler_rot_roundtrip():
+    rng = np.random.default_rng(0)
+    euler = rng.uniform(-0.5, 0.5, (16, 3))
+    R = euler2rot(euler)
+    back = rot2euler(R)
+    np.testing.assert_allclose(back, euler, atol=1e-6)
+    # orthonormal
+    eye = R @ R.transpose(0, 2, 1)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (16, 1, 1)), atol=1e-6)
+
+
+def test_make_frame_windows():
+    feats = np.random.default_rng(0).normal(size=(200, 29)).astype(np.float32)
+    w = make_frame_windows(feats, 50)
+    assert w.shape == (50, 16, 29)
+    assert np.isfinite(w).all()
+
+
+@pytest.fixture(scope="module")
+def tracked_scene(tmp_path_factory):
+    """Project the canonical template through known cameras, write .lms
+    files, run the PnP tracker + transforms writer."""
+    import cv2
+    d = str(tmp_path_factory.mktemp("track"))
+    ori = os.path.join(d, "ori_imgs")
+    os.makedirs(ori)
+    h = w = 256
+    focal = 800.0
+    K = np.array([[focal, 0, w / 2], [0, focal, h / 2], [0, 0, 1]])
+    obj = canonical_landmarks_3d()
+
+    n = 12
+    rng = np.random.default_rng(1)
+    truth = []
+    for i in range(n):
+        # ground-truth w2c in COLMAP camera convention (y down, z forward):
+        # head at origin, camera slightly orbiting in front (world +z side)
+        yaw = 0.15 * np.sin(i / 3.0)
+        pitch = 0.08 * np.cos(i / 4.0)
+        Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                       [-np.sin(yaw), 0, np.cos(yaw)]])
+        Rx = np.array([[1, 0, 0], [0, np.cos(pitch), -np.sin(pitch)],
+                       [0, np.sin(pitch), np.cos(pitch)]])
+        flip = np.diag([1.0, -1.0, -1.0])  # world y-up -> camera y-down
+        R = flip @ (Rx @ Ry)
+        t = np.array([0.01 * rng.normal(), 0.01 * rng.normal(), 3.0])
+        pts_cam = obj @ R.T + t
+        pix = pts_cam @ K.T
+        pix = pix[:, :2] / pix[:, 2:]
+        # .lms layout: columns (x, y)
+        np.savetxt(os.path.join(ori, f"{i}.lms"), pix, "%f")
+        cv2.imwrite(os.path.join(ori, f"{i}.jpg"),
+                    np.zeros((h, w, 3), np.uint8))
+        truth.append((R, t, pix))
+
+    track_poses(d, ori, smooth=1)
+    save_transforms(d, ori)
+    return d, truth, focal, obj
+
+
+def test_tracker_recovers_focal_and_pose(tracked_scene):
+    d, truth, focal, obj = tracked_scene
+    params = load_track_params(d)
+    assert abs(float(params["focal"][0]) - focal) <= 100  # grid step
+    assert params["euler"].shape == (12, 3)
+
+    # end-to-end: reader camera must reproject the template close to the
+    # original landmark pixels
+    from instag_tpu.data.dataset import load_frames  # noqa: F401
+    from instag_tpu.data.dataset import _camera_matrices
+    from instag_tpu.utils.graphics import focal2fov
+    with open(os.path.join(d, "transforms_train.json")) as f:
+        tf = json.load(f)
+    errs = []
+    for frame in tf["frames"][:6]:
+        i = frame["img_id"]
+        R_true, t_true, pix_true = truth[i]
+        fovx = focal2fov(tf["focal_len"], 256)
+        view_T, full_T, campos, _, _ = _camera_matrices(
+            np.array(frame["transform_matrix"]), fovx, fovx)
+        hom = np.concatenate([obj, np.ones((68, 1))], 1) @ full_T
+        ndc = hom[:, :3] / hom[:, 3:4]
+        px = ((ndc[0:, 0] + 1) * 256 - 1) * 0.5
+        py = ((ndc[0:, 1] + 1) * 256 - 1) * 0.5
+        err = np.hypot(px - pix_true[:, 0], py - pix_true[:, 1]).mean()
+        errs.append(err)
+    assert np.mean(errs) < 6.0, f"mean reprojection error {np.mean(errs)}px"
+
+
+def test_save_transforms_split_rules(tracked_scene):
+    d, *_ = tracked_scene
+    with open(os.path.join(d, "transforms_train.json")) as f:
+        train = json.load(f)
+    with open(os.path.join(d, "transforms_val.json")) as f:
+        val = json.load(f)
+    assert len(train["frames"]) == int(12 * 10 / 11)
+    assert len(train["frames"]) + len(val["frames"]) == 12
+
+
+def test_background_and_torso_tasks(tmp_path):
+    """Run tasks 5+6 on synthetic parsing/ori images."""
+    import cv2
+    d = str(tmp_path)
+    ori = os.path.join(d, "ori_imgs")
+    parsing = os.path.join(d, "parsing")
+    os.makedirs(ori)
+    os.makedirs(parsing)
+    h = w = 96
+    for i in range(3):
+        img = np.full((h, w, 3), 60, np.uint8)
+        img[20:70, 30 + i:66 + i] = (180, 150, 140)
+        cv2.imwrite(os.path.join(ori, f"{i}.jpg"), img)
+        seg = np.full((h, w, 3), 255, np.uint8)   # bg white
+        seg[20:55, 30 + i:66 + i] = (255, 0, 0)   # head (blue in BGR)
+        seg[55:62, 40:60] = (0, 255, 0)           # neck
+        seg[62:90, 25:75] = (0, 0, 255)           # torso
+        cv2.imwrite(os.path.join(parsing, f"{i}.png"), seg)
+
+    extract_background(d, ori)
+    assert os.path.exists(os.path.join(d, "bc.jpg"))
+    extract_torso_and_gt(d, ori)
+    gt = cv2.imread(os.path.join(d, "gt_imgs", "0.jpg"))
+    torso = cv2.imread(os.path.join(d, "torso_imgs", "0.png"),
+                       cv2.IMREAD_UNCHANGED)
+    assert gt.shape == (h, w, 3)
+    assert torso.shape == (h, w, 4)
+    assert torso[..., 3].max() == 255      # some opaque torso
+    assert (torso[5, 5, 3] == 0)           # background transparent
+
+
+def test_extract_images_from_video(tmp_path):
+    import cv2
+    d = str(tmp_path)
+    vid_path = os.path.join(d, "clip.mp4")
+    writer = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             25, (64, 64))
+    for i in range(10):
+        frame = np.full((64, 64, 3), i * 20, np.uint8)
+        writer.write(frame)
+    writer.release()
+    out = os.path.join(d, "frames")
+    extract_images(vid_path, out, fps=25)
+    files = glob.glob(os.path.join(out, "*.jpg"))
+    assert len(files) == 10
