@@ -156,27 +156,35 @@ def load_frames(path: str, split: str = "train",
     from PIL import Image
 
     bc = np.array(Image.open(os.path.join(path, "bc.jpg")).convert("RGB"))
+    h0, w0 = bc.shape[:2]
+
+    # bulk-decode all frames with the native multithreaded loader
+    from .native_loader import load_jpeg_batch, load_png_batch
+    ids = [frame["img_id"] for frame in frames]
+    gt_all = load_jpeg_batch(
+        [os.path.join(path, "gt_imgs", f"{i}.jpg") for i in ids], h0, w0)
+    torso_all = load_png_batch(
+        [os.path.join(path, "torso_imgs", f"{i}.png") for i in ids],
+        h0, w0, channels=4)
+    parsing_all = load_png_batch(
+        [os.path.join(path, "parsing", f"{i}.png") for i in ids],
+        h0, w0, channels=3)
 
     records = []
     for idx, frame in enumerate(frames):
         img_id = frame["img_id"]
-        image = np.array(Image.open(
-            os.path.join(path, "gt_imgs", f"{img_id}.jpg")).convert("RGB"))
+        image = gt_all[idx]
         h, w = image.shape[:2]
         fovx, fovy = focal2fov(focal, w), focal2fov(focal, h)
         view_T, full_T, campos, _, _ = _camera_matrices(
             frame["transform_matrix"], fovx, fovy)
 
-        torso = np.array(Image.open(
-            os.path.join(path, "torso_imgs", f"{img_id}.png")).convert("RGBA")
-        ).astype(np.float32)
+        torso = torso_all[idx].astype(np.float32)
         a = torso[..., 3:] / 255.0
         bg = (torso[..., :3] * a + bc * (1 - a)).astype(np.uint8)
 
         teeth = np.load(os.path.join(path, "teeth_mask", f"{img_id}.npy"))
-        parsing = np.array(Image.open(
-            os.path.join(path, "parsing", f"{img_id}.png")).convert("RGB")
-        ).astype(np.float32)
+        parsing = parsing_all[idx].astype(np.float32)
         face_mask = ((parsing[:, :, 2] > 254) & (parsing[:, :, 0] == 0)
                      & (parsing[:, :, 1] == 0)) ^ teeth
         hair_mask = ((parsing[:, :, 0] < 1) & (parsing[:, :, 1] < 1)

@@ -254,8 +254,6 @@ def rasterize(cfg: RasterizeConfig,
 
     Returns RasterizeOutput; fully differentiable.
     """
-    H, W, tile = cfg.image_height, cfg.image_width, cfg.tile
-    K = cfg.max_per_tile
     opac = opacities.reshape(-1)
 
     proj = project_gaussians(cfg, means3d, scales, rotations, viewmatrix,
@@ -268,11 +266,7 @@ def rasterize(cfg: RasterizeConfig,
     if colors_precomp is not None:
         colors = colors_precomp
     else:
-        dirs = means3d - campos[None, :]
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
-        # shs: [N, Ksh, 3] -> eval expects [..., C, Ksh]
-        colors = eval_sh(sh_degree, jnp.swapaxes(shs, -1, -2), dirs)
-        colors = jnp.maximum(colors + 0.5, 0.0)
+        colors = sh_colors(means3d, campos, shs, sh_degree)
 
     if extra_attrs is None:
         extra_attrs = jnp.ones((means3d.shape[0],), means3d.dtype)
@@ -280,13 +274,59 @@ def rasterize(cfg: RasterizeConfig,
         extra_attrs = extra_attrs.reshape(-1)
 
     ids, valid = _tile_select(cfg, proj)                    # [T, K]
+    return _composite_tiles(cfg, px, py, proj, opac, colors, extra_attrs,
+                            ids, valid, bg)
+
+
+class Prepared(NamedTuple):
+    """Shared projection + per-tile selection, reusable across multiple
+    color channels over the same geometry (e.g. the attention-map renders
+    in render_motion, which the reference re-rasterizes from scratch)."""
+    proj: Projected
+    px: jnp.ndarray
+    py: jnp.ndarray
+    ids: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def prepare(cfg: RasterizeConfig, means3d, scales, rotations, viewmatrix,
+            projmatrix, campos, tanfovx, tanfovy,
+            means2d_offset=None, active=None) -> Prepared:
+    """Projection + tile selection only (no compositing)."""
+    proj = project_gaussians(cfg, means3d, scales, rotations, viewmatrix,
+                             projmatrix, campos, tanfovx, tanfovy, active)
+    px, py = proj.px, proj.py
+    if means2d_offset is not None:
+        px = px + means2d_offset[:, 0]
+        py = py + means2d_offset[:, 1]
+    ids, valid = _tile_select(cfg, proj)
+    return Prepared(proj, px, py, ids, valid)
+
+
+def composite_prepared(cfg: RasterizeConfig, prep: Prepared, opacities,
+                       colors, bg, extra_attrs=None) -> RasterizeOutput:
+    """Composite given an existing Prepared (selection is reused; pass a
+    stop_gradient'd Prepared for detached-geometry side renders)."""
+    opac = opacities.reshape(-1)
+    if extra_attrs is None:
+        extra_attrs = jnp.ones_like(opac)
+    else:
+        extra_attrs = extra_attrs.reshape(-1)
+    return _composite_tiles(cfg, prep.px, prep.py, prep.proj, opac, colors,
+                            extra_attrs, prep.ids, prep.valid, bg)
+
+
+def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
+                     colors, extra_attrs, ids, valid, bg) -> RasterizeOutput:
+    H, W, tile = cfg.image_height, cfg.image_width, cfg.tile
+    K = cfg.max_per_tile
 
     # Per-gaussian packed features gathered per tile.
     feats = jnp.concatenate([
         px[:, None], py[:, None], proj.conic, opac[:, None],
         colors, proj.depth[:, None], proj.normal_cam,
         extra_attrs[:, None],
-    ], axis=-1)                                             # [N, 12]
+    ], axis=-1)                                             # [N, 14]
 
     tiles_x = cfg.tiles_x
     chunk = cfg.tile_chunk
@@ -299,11 +339,11 @@ def rasterize(cfg: RasterizeConfig,
 
     # In-tile pixel grid offsets [tile*tile, 2] (x, y)
     oy, ox = jnp.meshgrid(jnp.arange(tile), jnp.arange(tile), indexing="ij")
-    pix_off = jnp.stack([ox.reshape(-1), oy.reshape(-1)], -1).astype(means3d.dtype)
+    pix_off = jnp.stack([ox.reshape(-1), oy.reshape(-1)], -1).astype(px.dtype)
 
     def composite(args):
         tids, gids, gvalid = args                           # [c], [c,K], [c,K]
-        f = feats[gids]                                     # [c, K, 12]
+        f = feats[gids]                                     # [c, K, 14]
         gx, gy = f[..., 0], f[..., 1]
         A, B, C = f[..., 2], f[..., 3], f[..., 4]
         gop = f[..., 5]
@@ -312,8 +352,8 @@ def rasterize(cfg: RasterizeConfig,
         gnorm = f[..., 10:13]
         gextra = f[..., 13]
 
-        ty = (tids // tiles_x).astype(means3d.dtype)
-        tx = (tids % tiles_x).astype(means3d.dtype)
+        ty = (tids // tiles_x).astype(px.dtype)
+        tx = (tids % tiles_x).astype(px.dtype)
         pxs = tx[:, None] * tile + pix_off[None, :, 0]      # [c, P]
         pys = ty[:, None] * tile + pix_off[None, :, 1]
 
@@ -364,3 +404,11 @@ def rasterize(cfg: RasterizeConfig,
 
     radii = jnp.where(proj.visible, proj.radius, 0.0).astype(jnp.int32)
     return RasterizeOutput(image, depth, normal, alpha_img, radii, extra)
+
+
+def sh_colors(means3d, campos, shs, sh_degree: int):
+    """SH -> clamped RGB at per-splat view directions (in-kernel SH of the
+    CUDA rasterizer; clamp convention utils/sh_utils mirror)."""
+    dirs = means3d - campos[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    return jnp.maximum(eval_sh(sh_degree, jnp.swapaxes(shs, -1, -2), dirs) + 0.5, 0.0)

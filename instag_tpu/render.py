@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from .models.gaussians import GaussianState
-from .ops.rasterize import RasterizeConfig, RasterizeOutput, rasterize
+from .ops.rasterize import (RasterizeConfig, RasterizeOutput,
+                            composite_prepared, prepare, rasterize, sh_colors)
 
 
 @struct.dataclass
@@ -131,24 +132,28 @@ def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
     rotations = rot_raw / jnp.maximum(
         jnp.linalg.norm(rot_raw, axis=-1, keepdims=True), 1e-12)
 
-    out = rasterize(
-        cfg, means3d, opacity, scales, rotations, cam.view_transform,
-        cam.full_proj_transform, cam.camera_center, cam.tanfovx, cam.tanfovy,
-        bg, shs=_masked_features(state), sh_degree=state.max_sh_degree,
-        means2d_offset=means2d_offset, active=state.alive)
+    # one shared projection + tile selection feeds the main composite and
+    # the (detached) attention-map composites — the reference re-rasterizes
+    # from scratch for each (gaussian_renderer/__init__.py:258-283)
+    prep = prepare(cfg, means3d, scales, rotations, cam.view_transform,
+                   cam.full_proj_transform, cam.camera_center, cam.tanfovx,
+                   cam.tanfovy, means2d_offset=means2d_offset,
+                   active=state.alive)
+    colors = sh_colors(means3d, cam.camera_center, _masked_features(state),
+                       state.max_sh_degree)
+    out = composite_prepared(cfg, prep, opacity, colors, bg)
 
     attn = p_attn = None
     if return_attn:
+        sg = jax.lax.stop_gradient
+        prep_sg = jax.tree.map(sg, prep)
+
         def attn_render(preds_dict):
-            colors = jnp.concatenate([
+            acolors = jnp.concatenate([
                 preds_dict["ambient_aud"], preds_dict["ambient_eye"],
                 jnp.zeros_like(preds_dict["ambient_eye"])], axis=-1)
-            sg = jax.lax.stop_gradient
-            return rasterize(
-                cfg, sg(means3d), sg(opacity), sg(scales), sg(rotations),
-                cam.view_transform, cam.full_proj_transform, cam.camera_center,
-                cam.tanfovx, cam.tanfovy, jnp.zeros_like(bg),
-                colors_precomp=colors, active=state.alive).image
+            return composite_prepared(cfg, prep_sg, sg(opacity), acolors,
+                                      jnp.zeros_like(bg)).image
 
         attn = attn_render(preds)
         if personalized:
