@@ -95,11 +95,17 @@ def main():
                         shs=st.get_features(), sh_degree=1, active=st.alive)
         return jnp.mean(out.image ** 2)
 
-    g = jax.jit(jax.grad(raster_grad))
-    g(face_state.params)  # compile
+    # scan the grad step so per-dispatch overhead (large pytree args over
+    # the device tunnel) doesn't pollute the measurement
+    def g_body(params, _):
+        g = jax.grad(raster_grad)(params)
+        return jax.tree.map(lambda p, d: p - 1e-9 * d, params, g), None
+
+    g10 = jax.jit(lambda p: jax.lax.scan(g_body, p, None, length=10)[0])
+    r = g10(face_state.params)  # compile
+    jax.tree.leaves(r)[0].block_until_ready()
     t0 = time.time()
-    for _ in range(10):
-        r = g(face_state.params)
+    r = g10(face_state.params)
     jax.tree.leaves(r)[0].block_until_ready()
     ms_fwdbwd = (time.time() - t0) / 10 * 1000
     print(f"# rasterizer fwd+bwd: {ms_fwdbwd:.1f} ms/frame", file=sys.stderr)

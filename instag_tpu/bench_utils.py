@@ -42,12 +42,14 @@ def synthetic_state(n: int, capacity: int, seed: int = 0,
                          active_sh_degree=jnp.int32(max_sh_degree))
 
 
-def synthetic_motion_params(audio_extractor: str = "deepspeech", seed: int = 0):
-    """Init UMF/PMF params for both branches."""
-    face_net = MotionNetwork(audio_extractor)
-    mouth_net = MouthMotionNetwork(audio_extractor)
-    face_pmf = PersonalizedMotionNetwork("face", audio_extractor)
-    mouth_pmf = PersonalizedMotionNetwork("mouth", audio_extractor)
+def synthetic_motion_params(audio_extractor: str = "deepspeech",
+                            seed: int = 0, onehot: bool = False):
+    """Init UMF/PMF params for both branches. onehot=False builds
+    inference-mode (gather-lookup) nets; params are layout-identical."""
+    face_net = MotionNetwork(audio_extractor, onehot=onehot)
+    mouth_net = MouthMotionNetwork(audio_extractor, onehot=onehot)
+    face_pmf = PersonalizedMotionNetwork("face", audio_extractor, onehot=onehot)
+    mouth_pmf = PersonalizedMotionNetwork("mouth", audio_extractor, onehot=onehot)
     keys = jax.random.split(jax.random.key(seed), 4)
     x0 = jnp.zeros((8, 3))
     aud = jnp.zeros((8, 29, 16))

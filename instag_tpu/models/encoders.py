@@ -7,6 +7,8 @@ running each through its own 2-D multiresolution hash grid
 
 from __future__ import annotations
 
+import dataclasses as _dc
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -44,11 +46,18 @@ class TriplaneEncoder(nn.Module):
     num_levels: int = 12
     level_dim: int = 1
     log2_hashmap_size: int = 17
+    # one-hot matmul lookup: big win when the encode is differentiated
+    # (training — it removes the scatter-add backward), a loss for pure
+    # forward inference (gather is cheaper). Trainers keep the default;
+    # synthesis builds nets with onehot=False.
+    onehot: bool = True
 
     def setup(self):
         cfg = triplane_configs(self.base_resolution, self.desired_resolution,
                                self.num_levels, self.level_dim,
                                self.log2_hashmap_size)
+        if not self.onehot:
+            cfg = _dc.replace(cfg, onehot_threshold=0)
         self.encoder_xy = HashGridEncoder(cfg)
         self.encoder_yz = HashGridEncoder(cfg)
         self.encoder_xz = HashGridEncoder(cfg)

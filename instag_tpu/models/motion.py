@@ -68,11 +68,13 @@ class MotionNetwork(nn.Module):
     audio_extractor: str = "deepspeech"
     audio_dim: int = 32
     bound: float = 0.15
+    onehot: bool = True  # one-hot table lookup (training); False for inference
 
     def setup(self):
         self.audio = AudioFeature(self.audio_extractor, self.audio_dim)
         self.encoder = TriplaneEncoder(base_resolution=16,
-                                       desired_resolution=256 * self.bound)
+                                       desired_resolution=256 * self.bound,
+                                       onehot=self.onehot)
         in_dim = self.encoder.output_dim  # 36
         self.eye_dim = 6
         self.exp_encode_net = MLP(self.eye_dim - 1, 16, 2)
@@ -113,11 +115,13 @@ class MouthMotionNetwork(nn.Module):
     audio_extractor: str = "deepspeech"
     audio_dim: int = 32
     bound: float = 0.15
+    onehot: bool = True
 
     def setup(self):
         self.audio = AudioFeature(self.audio_extractor, self.audio_dim)
         self.encoder = TriplaneEncoder(base_resolution=64,
-                                       desired_resolution=384 * self.bound)
+                                       desired_resolution=384 * self.bound,
+                                       onehot=self.onehot)
         self.sigma_net = MLP(7, 32, 3)
         self.scaler_net = MLP(1, 16, 3)
         self.aud_ch_att_net = MLP(self.audio_dim, 32, 2)
@@ -152,12 +156,14 @@ class PersonalizedMotionNetwork(nn.Module):
     audio_extractor: str = "deepspeech"
     audio_dim: int = 32
     bound: float = 0.15
+    onehot: bool = True
 
     def setup(self):
         self.exp_eye = self.kind == "face"
         self.audio = AudioFeature(self.audio_extractor, self.audio_dim)
         self.encoder = TriplaneEncoder(base_resolution=16,
-                                       desired_resolution=256 * self.bound)
+                                       desired_resolution=256 * self.bound,
+                                       onehot=self.onehot)
         hidden = 32 if self.kind == "face" else 16
         out_dim = 11 if self.kind == "face" else 7
         self.eye_dim = 6

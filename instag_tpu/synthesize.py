@@ -42,10 +42,14 @@ def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
     Returns fn(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
     mouth_pmf, batch, i) -> uint8 [H, W, 3].
     """
-    face_net = MotionNetwork(model_cfg.audio_extractor)
-    mouth_net = MouthMotionNetwork(model_cfg.audio_extractor)
-    face_pmf_net = PersonalizedMotionNetwork("face", model_cfg.audio_extractor)
-    mouth_pmf_net = PersonalizedMotionNetwork("mouth", model_cfg.audio_extractor)
+    # inference-mode nets: gather lookups (no backward -> one-hot not useful)
+    face_net = MotionNetwork(model_cfg.audio_extractor, onehot=False)
+    mouth_net = MouthMotionNetwork(model_cfg.audio_extractor, onehot=False)
+    face_pmf_net = PersonalizedMotionNetwork("face", model_cfg.audio_extractor,
+                                             onehot=False)
+    mouth_pmf_net = PersonalizedMotionNetwork("mouth",
+                                              model_cfg.audio_extractor,
+                                              onehot=False)
 
     @jax.jit
     def synth(face_state, mouth_state, face_umf, mouth_umf, face_pmf,

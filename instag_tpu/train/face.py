@@ -14,14 +14,17 @@ Densification until iterations-1000 with rising opacity floor
 0.05+0.25·i/until (:702), green-Gaussian prune (:764-769) and z<-0.07 depth
 prune (:778) at densify intervals.
 
-TPU design: all frames live on device; one compiled step per static phase
-(base / +lpips per patch size); phase toggles inside a phase are traced 0/1
-flags so nothing recompiles in the loop.
+TPU-native loop structure: the reference dispatches one GPU step per Python
+iteration; here `densification_interval` steps run as ONE device program via
+lax.scan (frame indices, phase flags, and LPIPS patch choices precomputed
+per block on host), so the host never touches the device between
+densifications — per-step dispatch overhead (tens of ms for the large
+parameter pytrees) disappears. Within-phase toggles are traced 0/1 flags;
+the LPIPS patch size switches via lax.switch over a static size set.
 """
 
 from __future__ import annotations
 
-import os
 import time
 from functools import partial
 
@@ -37,7 +40,7 @@ from ..models.lpips import load_lpips_params
 from ..models.motion import MotionNetwork, PersonalizedMotionNetwork
 from ..ops.rasterize import RasterizeConfig
 from ..render import render_motion
-from ..utils.losses import l1_loss, psnr, normalize_depth, patchify, ssim
+from ..utils.losses import l1_loss, normalize_depth, patchify, ssim
 from ..utils.sh import eval_sh
 from .common import FrameBatch, build_frame_batch, gaussian_lrs, rect_mask
 from .optim import pmf_optimizer, umf_optimizer
@@ -47,174 +50,182 @@ GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
 
 @struct.dataclass
 class Flags:
-    """Traced within-phase toggles (all 0/1 floats)."""
+    """Traced per-step toggles (0/1 floats; arrays of [B] inside a block)."""
     align: jnp.ndarray
     use_regs: jnp.ndarray
     use_sapiens: jnp.ndarray
     use_depth: jnp.ndarray
     hair_paint: jnp.ndarray
+    use_lpips: jnp.ndarray
 
 
-def _paint(img, mask_hw, color):
-    return jnp.where(mask_hw[None, :, :], color[:, None, None], img)
+def make_face_block(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
+                    spatial_lr_scale, has_priors: bool, umf_tx, pmf_tx,
+                    lpips_fn=None, lpips_patches: tuple[int, ...] = (),
+                    long: bool = False, lips_crop: int = 96):
+    """Build the jitted multi-step training block."""
+    h, w = cfg.image_height, cfg.image_width
 
-
-def make_face_step(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
-                   spatial_lr_scale, has_priors: bool, umf_tx, pmf_tx,
-                   lpips_fn=None, lpips_patch: int = 0, long: bool = False,
-                   lips_crop: int = 96):
-    """Build one compiled training step for a static phase."""
-
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
-    def _step(state, gopt, umf_params, umf_opt_state, pmf_params,
-              pmf_opt_state, batch: FrameBatch, i, it, flags: Flags):
+    def step_loss(st, umf_p, pmf_p, off, batch: FrameBatch, i, flags,
+                  patch_idx):
         cam = batch.camera(i)
         gt = batch.gt_image(i)
         aud = batch.auds[i]
         exp = batch.au_exp[i]
         face_m = batch.face_mask[i]
         hair_m = batch.hair_mask[i]
-        mouth_m = batch.mouth_mask[i]
+        mouth_m_raw = batch.mouth_mask[i]
         head_m = face_m | hair_m
-        h, w = cfg.image_height, cfg.image_width
+        rect = batch.lips_rect[i]
 
-        if lpips_patch:
-            # soften the mouth mask with erode(dilate) (train_face.py:333-335)
-            mm = mouth_m[None].astype(jnp.float32)
-            dil = jax.lax.reduce_window(mm, -jnp.inf, jax.lax.max,
-                                        (1, 3, 3), (1, 1, 1), "SAME")
-            ero = -jax.lax.reduce_window(-dil, -jnp.inf, jax.lax.max,
-                                         (1, 3, 3), (1, 1, 1), "SAME")
-            mouth_m = ero[0] > 0.5
+        # softened mouth mask for the LPIPS phase (train_face.py:333-335);
+        # blended by the traced flag so one graph covers both phases
+        mm = mouth_m_raw[None].astype(jnp.float32)
+        dil = jax.lax.reduce_window(mm, -jnp.inf, jax.lax.max,
+                                    (1, 3, 3), (1, 1, 1), "SAME")
+        ero = -jax.lax.reduce_window(-dil, -jnp.inf, jax.lax.max,
+                                     (1, 3, 3), (1, 1, 1), "SAME")
+        mouth_soft = ero[0] > 0.5
+        mouth_m = jnp.where(flags.use_lpips > 0, mouth_soft, mouth_m_raw)
 
-        offset0 = jnp.zeros((state.capacity, 2))
+        mr = render_motion(
+            cfg, cam, st,
+            umf=lambda x, a, e: umf_net.apply(umf_p, x, a, e),
+            aud=aud, exp=exp, bg=GREEN,
+            pmf=lambda x, a, e: pmf_net.apply(pmf_p, x, a, e),
+            personalized=False, align=flags.align, return_attn=True,
+            means2d_offset=off)
+        out = mr.out
 
-        def loss_fn(gparams, umf_p, pmf_p, off):
-            st = state.replace(params=gparams)
-            mr = render_motion(
-                cfg, cam, st,
-                umf=lambda x, a, e: umf_net.apply(umf_p, x, a, e),
-                aud=aud, exp=exp, bg=GREEN,
-                pmf=lambda x, a, e: pmf_net.apply(pmf_p, x, a, e),
-                personalized=False, align=flags.align, return_attn=True,
-                means2d_offset=off)
-            out = mr.out
-            image = out.image
-            alpha = out.alpha
+        gt_w = jnp.where(head_m[None], gt, GREEN[:, None, None])
+        gt_w = jnp.where(mouth_m[None], GREEN[:, None, None], gt_w)
+        hp = flags.hair_paint
+        img_w = jnp.where(hair_m[None] & (hp > 0), GREEN[:, None, None],
+                          out.image)
+        gt_w = jnp.where(hair_m[None] & (hp > 0), GREEN[:, None, None], gt_w)
 
-            gt_white = jnp.where(head_m[None], gt, GREEN[:, None, None])
-            gt_white = _paint(gt_white, mouth_m, GREEN)  # mouth excluded (:445)
-            img_w = image
-            # hair painted to bg on most mid-phase iters (:429-437)
-            hp = flags.hair_paint
-            img_w = img_w * (1 - hp) + _paint(img_w, hair_m, GREEN) * hp
-            gt_w = gt_white * (1 - hp) + _paint(gt_white, hair_m, GREEN) * hp
+        loss = l1_loss(img_w, gt_w)
+        loss += opt_cfg.lambda_dssim * (1.0 - ssim(img_w, gt_w))
 
-            loss = l1_loss(img_w, gt_w)
-            loss += opt_cfg.lambda_dssim * (1.0 - ssim(img_w, gt_w))
+        if has_priors and not long:
+            n_prior = batch.normal[i].transpose(2, 0, 1)
+            nm = (head_m ^ mouth_m_raw).astype(jnp.float32)
+            cos = (1.0 - n_prior * out.normal).sum(0)
+            loss += flags.use_sapiens * 0.01 * (
+                (cos * nm).sum() / jnp.maximum(nm.sum(), 1.0))
+            fm = (face_m ^ mouth_m_raw).astype(jnp.float32)
+            dd = jnp.abs(normalize_depth(out.depth[0])
+                         - normalize_depth(batch.depth[i]))
+            loss += (flags.use_sapiens * flags.use_depth * 1e-2
+                     * (dd * fm).sum() / jnp.maximum(fm.sum(), 1.0))
 
-            if has_priors and not long:
-                # sapiens normal prior, cosine on head⊻mouth (:469)
-                n_prior = batch.normal[i].transpose(2, 0, 1)
-                nm = (head_m ^ mouth_m).astype(jnp.float32)
-                cos = (1.0 - n_prior * out.normal).sum(0)
-                loss += flags.use_sapiens * 0.01 * (
-                    (cos * nm).sum() / jnp.maximum(nm.sum(), 1.0))
-                # scale-normalized mono-depth L1 on face⊻mouth (:491)
-                fm = (face_m ^ mouth_m).astype(jnp.float32)
-                dd = jnp.abs(normalize_depth(out.depth[0])
-                             - normalize_depth(batch.depth[i]))
-                loss += (flags.use_sapiens * flags.use_depth * 1e-2
-                         * (dd * fm).sum() / jnp.maximum(fm.sum(), 1.0))
+        m = mr.motion
+        reg = (jnp.abs(m["d_xyz"]).mean() + jnp.abs(m["d_rot"]).mean()
+               + jnp.abs(m["d_opa"]).mean() + jnp.abs(m["d_scale"]).mean()
+               + jnp.abs(mr.p_motion["p_xyz"]).mean())
+        loss += flags.use_regs * 1e-5 * reg
 
-            # motion / PMF regularizers (:500-528)
-            m = mr.motion
-            reg = (jnp.abs(m["d_xyz"]).mean() + jnp.abs(m["d_rot"]).mean()
-                   + jnp.abs(m["d_opa"]).mean() + jnp.abs(m["d_scale"]).mean()
-                   + jnp.abs(mr.p_motion["p_xyz"]).mean())
-            loss += flags.use_regs * 1e-5 * reg
+        hm = head_m[None].astype(jnp.float32)
+        loss += flags.use_regs * 1e-3 * (
+            ((1 - out.alpha) * hm).mean() + (out.alpha * (1 - hm)).mean())
 
-            # alpha mask loss (:540)
-            hm = head_m[None].astype(jnp.float32)
-            loss += flags.use_regs * 1e-3 * (
-                ((1 - alpha) * hm).mean() + (alpha * (1 - hm)).mean())
+        lips_m = rect_mask(h, w, rect).astype(jnp.float32)
+        loss += flags.use_regs * 1e-4 * (
+            (mr.attn[1] * lips_m).sum() / jnp.maximum(lips_m.sum(), 1.0))
 
-            # eye-attention suppressed inside the lips rect (:557)
-            rect = batch.lips_rect[i]
-            lips_m = rect_mask(h, w, rect).astype(jnp.float32)
-            loss += flags.use_regs * 1e-4 * (
-                (mr.attn[1] * lips_m).sum() / jnp.maximum(lips_m.sum(), 1.0))
+        hmf = hair_m.astype(jnp.float32)
+        attn_hair = ((mr.attn[1] * hmf).sum() + (mr.attn[0] * hmf).sum()
+                     ) / jnp.maximum(hmf.sum(), 1.0)
+        loss += flags.use_regs * (1 - hp) * 1e-4 * attn_hair
 
-            # hair attention losses on non-paint iters (:561-572)
-            hmf = hair_m.astype(jnp.float32)
-            attn_hair = ((mr.attn[1] * hmf).sum() + (mr.attn[0] * hmf).sum()
-                         ) / jnp.maximum(hmf.sum(), 1.0)
-            loss += flags.use_regs * (1 - hp) * 1e-4 * attn_hair
+        if lpips_fn is not None and lpips_patches:
+            img_t = img_w
+            gt_t = gt_w
+            if long:
+                cx = jnp.clip((rect[0] + rect[1]) // 2 - lips_crop // 2,
+                              0, h - lips_crop)
+                cy = jnp.clip((rect[2] + rect[3]) // 2 - lips_crop // 2,
+                              0, w - lips_crop)
+                crop_i = jax.lax.dynamic_slice(img_t, (0, cx, cy),
+                                               (3, lips_crop, lips_crop))
+                crop_g = jax.lax.dynamic_slice(gt_t, (0, cx, cy),
+                                               (3, lips_crop, lips_crop))
+                loss += flags.use_lpips * 0.01 * lpips_fn(
+                    crop_i[None] * 2 - 1, crop_g[None] * 2 - 1).mean()
+            img_t = jnp.where(lips_m[None] > 0, GREEN[:, None, None], img_t)
+            gt_t = jnp.where(lips_m[None] > 0, GREEN[:, None, None], gt_t)
 
-            if lpips_patch and lpips_fn is not None:
-                img_t = img_w
-                gt_t = gt_w
-                if long:
-                    # lips-crop LPIPS, fixed-size dynamic slice (:600-604)
-                    cx = jnp.clip((rect[0] + rect[1]) // 2 - lips_crop // 2,
-                                  0, h - lips_crop)
-                    cy = jnp.clip((rect[2] + rect[3]) // 2 - lips_crop // 2,
-                                  0, w - lips_crop)
-                    crop_i = jax.lax.dynamic_slice(
-                        img_t, (0, cx, cy), (3, lips_crop, lips_crop))
-                    crop_g = jax.lax.dynamic_slice(
-                        gt_t, (0, cx, cy), (3, lips_crop, lips_crop))
-                    loss += 0.01 * lpips_fn(crop_i[None] * 2 - 1,
-                                            crop_g[None] * 2 - 1).mean()
-                img_t = jnp.where(lips_m[None] > 0, GREEN[:, None, None], img_t)
-                gt_t = jnp.where(lips_m[None] > 0, GREEN[:, None, None], gt_t)
-                pi = patchify(img_t * 2 - 1, lpips_patch)
-                pg = patchify(gt_t * 2 - 1, lpips_patch)
-                d = lpips_fn(pi, pg).mean()
-                loss += (0.21 if long else 0.01) * d  # 0.2 + 0.01 in --long (:612-620)
+            def lp_branch(ps):
+                def run(imgs):
+                    a, b = imgs
+                    return lpips_fn(patchify(a * 2 - 1, ps),
+                                    patchify(b * 2 - 1, ps)).mean()
+                return run
 
-            aux = (out, jnp.stack([l1_loss(img_w, gt_w)]))
-            return loss, aux
+            d = jax.lax.switch(patch_idx,
+                               [lp_branch(ps) for ps in lpips_patches],
+                               (img_t, gt_t))
+            loss += flags.use_lpips * (0.21 if long else 0.01) * d
 
-        (loss, (out, _)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
-                state.params, umf_params, pmf_params, offset0)
-        g_gauss, g_umf, g_pmf, g_off = grads
+        return loss, out
 
-        # Gaussian Adam
-        lrs = gaussian_lrs(opt_cfg, it, spatial_lr_scale)
-        new_params, gopt = G.adam_update(state.params, g_gauss, gopt, lrs,
-                                         state.alive)
-        state = state.replace(params=new_params)
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+    def block(state, gopt, umf_params, umf_opt_state, pmf_params,
+              pmf_opt_state, batch: FrameBatch, idxs, its, flags: Flags,
+              patch_idxs):
+        def one(carry, xs):
+            (state, gopt, umf_params, umf_opt_state, pmf_params,
+             pmf_opt_state) = carry
+            i, it, patch_idx, flag = xs
 
-        # UMF AdamW (+ schedule)
-        umf_updates, umf_opt_state = umf_tx.update(g_umf, umf_opt_state,
-                                                   umf_params)
-        umf_params = jax.tree.map(lambda p, u: p + u, umf_params, umf_updates)
+            offset0 = jnp.zeros((state.capacity, 2))
 
-        # PMF Adam
-        pmf_updates, pmf_opt_state = pmf_tx.update(g_pmf, pmf_opt_state,
-                                                   pmf_params)
-        pmf_params = jax.tree.map(lambda p, u: p + u, pmf_params, pmf_updates)
+            def loss_fn(gparams, umf_p, pmf_p, off):
+                st = state.replace(params=gparams)
+                return step_loss(st, umf_p, pmf_p, off, batch, i, flag,
+                                 patch_idx)
 
-        visible = out.radii > 0
-        state = G.add_densification_stats(state, g_off, visible)
-        state = G.update_max_radii(state, out.radii, visible)
-        return state, gopt, umf_params, umf_opt_state, pmf_params, \
-            pmf_opt_state, loss
+            (loss, out), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+                    state.params, umf_params, pmf_params, offset0)
+            g_gauss, g_umf, g_pmf, g_off = grads
 
-    return _step
+            lrs = gaussian_lrs(opt_cfg, it, spatial_lr_scale)
+            new_params, gopt = G.adam_update(state.params, g_gauss, gopt, lrs,
+                                             state.alive)
+            state = state.replace(params=new_params)
+
+            upd, umf_opt_state = umf_tx.update(g_umf, umf_opt_state,
+                                               umf_params)
+            umf_params = jax.tree.map(lambda p, u: p + u, umf_params, upd)
+            updp, pmf_opt_state = pmf_tx.update(g_pmf, pmf_opt_state,
+                                                pmf_params)
+            pmf_params = jax.tree.map(lambda p, u: p + u, pmf_params, updp)
+
+            visible = out.radii > 0
+            state = G.add_densification_stats(state, g_off, visible)
+            state = G.update_max_radii(state, out.radii, visible)
+            return (state, gopt, umf_params, umf_opt_state, pmf_params,
+                    pmf_opt_state), loss
+
+        carry, losses = jax.lax.scan(
+            one,
+            (state, gopt, umf_params, umf_opt_state, pmf_params,
+             pmf_opt_state),
+            (idxs, its, patch_idxs, flags))
+        return carry + (losses,)
+
+    return block
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def _prune_green_and_depth(state, opt, campos, it, prune_depth: bool,
-                           max_sh_degree: int):
+@partial(jax.jit, static_argnums=(4,))
+def _prune_green_and_depth(state, opt, campos, it, prune_depth: bool):
     """Green-splat prune + z<-0.07 depth prune (train_face.py:719-778)."""
     feats = state.get_features()
     dirs = state.params.xyz - campos[None, :]
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
     colors = jnp.maximum(
-        eval_sh(max_sh_degree, jnp.swapaxes(feats, -1, -2), dirs) + 0.5, 0.0)
+        eval_sh(state.max_sh_degree, jnp.swapaxes(feats, -1, -2), dirs) + 0.5, 0.0)
     green = ((colors[:, 0] < 30 / 255) & (colors[:, 1] > 225 / 255)
              & (colors[:, 2] < 30 / 255))
     mask = green
@@ -304,21 +315,23 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         umf_params, total_iters=iterations, warm_step=warm_step, long=long)
     pmf_tx, pmf_opt_state = pmf_optimizer(pmf_params)
 
-    base_step = make_face_step(cfg, opt_cfg, umf_net, pmf_net, extent,
-                               has_priors, umf_tx, pmf_tx, None, 0, long)
-    patch_sizes = [s for s in (64, 80, 96) if s <= min(h, w)] or [min(h, w)]
-    lpips_steps = {}
+    patch_sizes = tuple(s for s in (64, 80, 96) if s <= min(h, w)) \
+        or (min(h, w),)
+    lpips_call = None
     if lpips_enabled:
         lpips_model, lpips_params = load_lpips_params()
 
         def lpips_call(a, b):
             return lpips_model.apply(lpips_params, a, b)
 
-        lpips_steps = {
-            ps: make_face_step(cfg, opt_cfg, umf_net, pmf_net, extent,
-                               has_priors, umf_tx, pmf_tx, lpips_call, ps,
-                               long, lips_crop=min(96, h, w))
-            for ps in patch_sizes}
+    base_block = make_face_block(cfg, opt_cfg, umf_net, pmf_net, extent,
+                                 has_priors, umf_tx, pmf_tx, None, (), long)
+    lpips_block = None
+    if lpips_enabled:
+        lpips_block = make_face_block(cfg, opt_cfg, umf_net, pmf_net, extent,
+                                      has_priors, umf_tx, pmf_tx, lpips_call,
+                                      patch_sizes, long,
+                                      lips_crop=min(96, h, w))
 
     meta = {
         "mouth": [r.mouth_bound[2] for r in records],
@@ -329,56 +342,81 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     rng = np.random.default_rng(seed)
     stack: list[int] = []
     hair_mask_interval = 7                      # :46
-    losses = []
+    losses: list[float] = []
     t0 = time.time()
 
-    for it in range(1, iterations + 1):
-        if it % 1000 == 0:
+    interval = opt_cfg.densification_interval
+    it = 1
+    while it <= iterations:
+        # block ends at the next host-side event boundary
+        block_end = min(iterations,
+                        ((it - 1) // interval + 1) * interval)
+        if it <= lpips_start < block_end:
+            block_end = lpips_start
+        # sh warmup boundary
+        next_k = ((it - 1) // 1000 + 1) * 1000
+        block_end = min(block_end, next_k)
+        n = block_end - it + 1
+
+        idxs, its_arr, patch_arr = [], [], []
+        flags_cols = {f: [] for f in ("align", "use_regs", "use_sapiens",
+                                      "use_depth", "hair_paint", "use_lpips")}
+        for step in range(it, block_end + 1):
+            idxs.append(sample_frame_curriculum(rng, meta, stack, step,
+                                                warm_step, iterations))
+            its_arr.append(step)
+            patch_arr.append(int(rng.integers(len(patch_sizes))))
+            hair_iter = (warm_step < step < lpips_start - 1000
+                         and step % hair_mask_interval != 0)
+            flags_cols["align"].append(float(step > 1000))
+            flags_cols["use_regs"].append(float(step > warm_step))
+            flags_cols["use_sapiens"].append(
+                float((not long) and step > warm_step + 2000))
+            flags_cols["use_depth"].append(
+                float(step % opt_cfg.opacity_reset_interval > 100))
+            flags_cols["hair_paint"].append(float(hair_iter))
+            flags_cols["use_lpips"].append(float(step > lpips_start))
+
+        flags = Flags(**{k: jnp.asarray(v, jnp.float32)
+                         for k, v in flags_cols.items()})
+        use_lpips_block = (lpips_block is not None and it > lpips_start)
+        run = lpips_block if use_lpips_block else base_block
+        (state, gopt, umf_params, umf_opt_state, pmf_params, pmf_opt_state,
+         block_losses) = run(state, gopt, umf_params, umf_opt_state,
+                             pmf_params, pmf_opt_state, batch,
+                             jnp.asarray(idxs, jnp.int32),
+                             jnp.asarray(its_arr, jnp.int32), flags,
+                             jnp.asarray(patch_arr, jnp.int32))
+        losses.extend(np.asarray(block_losses).tolist())
+        it = block_end + 1
+        end = block_end
+
+        # host-side events at block boundaries
+        if end % 1000 == 0:
             state = G.one_up_sh_degree(state)
-        i = sample_frame_curriculum(rng, meta, stack, it, warm_step, iterations)
-
-        hair_iter = (warm_step < it < lpips_start - 1000
-                     and it % hair_mask_interval != 0)
-        flags = Flags(
-            align=jnp.float32(it > 1000),
-            use_regs=jnp.float32(it > warm_step),
-            use_sapiens=jnp.float32((not long) and it > warm_step + 2000),
-            use_depth=jnp.float32(it % opt_cfg.opacity_reset_interval > 100),
-            hair_paint=jnp.float32(hair_iter),
-        )
-        if lpips_steps and it > lpips_start:
-            ps = patch_sizes[int(rng.integers(len(patch_sizes)))]
-            step = lpips_steps[ps]
-        else:
-            step = base_step
-        state, gopt, umf_params, umf_opt_state, pmf_params, pmf_opt_state, \
-            loss = step(state, gopt, umf_params, umf_opt_state, pmf_params,
-                        pmf_opt_state, batch, i, it, flags)
-        losses.append(float(loss))
-
-        if it < densify_until and it > opt_cfg.densify_from_iter \
-                and it % opt_cfg.densification_interval == 0:
+        if end < densify_until and end > opt_cfg.densify_from_iter \
+                and end % interval == 0:
             key, sub = jax.random.split(key)
-            floor = 0.05 + 0.25 * it / densify_until   # :702
+            floor = 0.05 + 0.25 * end / densify_until   # :702
             state, gopt = G.densify_and_prune(
                 state, gopt, sub, opt_cfg.densify_grad_threshold, floor,
-                extent, 20.0 if it > opt_cfg.opacity_reset_interval else None,
+                extent,
+                20.0 if end > opt_cfg.opacity_reset_interval else None,
                 opt_cfg.percent_dense)
-        if (not long) and it % opt_cfg.opacity_reset_interval == 0 \
-                and it < densify_until:
+        if (not long) and end % opt_cfg.opacity_reset_interval == 0 \
+                and end < densify_until:
             state, gopt = G.reset_opacity(state, gopt)
-        if it > opt_cfg.densify_from_iter \
-                and it % opt_cfg.densification_interval == 0:
+        if end > opt_cfg.densify_from_iter and end % interval == 0:
             state, gopt = _prune_green_and_depth(
-                state, gopt, batch.camera_center[i], it, not long, max_sh)
+                state, gopt, batch.camera_center[idxs[-1]], end, not long)
 
-        if it % log_every == 0:
-            print(f"[face {it}/{iterations}] loss="
-                  f"{np.mean(losses[-log_every:]):.4f} "
+        if end % log_every < n:
+            print(f"[face {end}/{iterations}] loss="
+                  f"{np.mean(losses[-min(log_every, len(losses)):]):.4f} "
                   f"pts={int(state.num_alive())} "
                   f"t={time.time()-t0:.0f}s", flush=True)
-        if eval_fn is not None and it % log_every == 0:
-            eval_fn(it, state, umf_params, pmf_params)
+        if eval_fn is not None and end % log_every < n:
+            eval_fn(end, state, umf_params, pmf_params)
 
     return dict(state=state, gopt=gopt, umf_params=umf_params,
                 umf_opt_state=umf_opt_state, pmf_params=pmf_params,
