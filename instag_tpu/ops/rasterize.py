@@ -304,29 +304,40 @@ def prepare(cfg: RasterizeConfig, means3d, scales, rotations, viewmatrix,
 
 
 def composite_prepared(cfg: RasterizeConfig, prep: Prepared, opacities,
-                       colors, bg, extra_attrs=None) -> RasterizeOutput:
+                       colors, bg, extra_attrs=None,
+                       light: bool = False) -> RasterizeOutput:
     """Composite given an existing Prepared (selection is reused; pass a
-    stop_gradient'd Prepared for detached-geometry side renders)."""
+    stop_gradient'd Prepared for detached-geometry side renders).
+
+    ``light=True`` accumulates color+alpha only (depth/normal/extra outputs
+    are zeros) — right for the attention-map side renders which consume
+    only the image."""
     opac = opacities.reshape(-1)
     if extra_attrs is None:
         extra_attrs = jnp.ones_like(opac)
     else:
         extra_attrs = extra_attrs.reshape(-1)
     return _composite_tiles(cfg, prep.px, prep.py, prep.proj, opac, colors,
-                            extra_attrs, prep.ids, prep.valid, bg)
+                            extra_attrs, prep.ids, prep.valid, bg, light)
 
 
 def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
-                     colors, extra_attrs, ids, valid, bg) -> RasterizeOutput:
+                     colors, extra_attrs, ids, valid, bg,
+                     light: bool = False) -> RasterizeOutput:
     H, W, tile = cfg.image_height, cfg.image_width, cfg.tile
     K = cfg.max_per_tile
 
     # Per-gaussian packed features gathered per tile.
-    feats = jnp.concatenate([
-        px[:, None], py[:, None], proj.conic, opac[:, None],
-        colors, proj.depth[:, None], proj.normal_cam,
-        extra_attrs[:, None],
-    ], axis=-1)                                             # [N, 14]
+    if light:
+        feats = jnp.concatenate([
+            px[:, None], py[:, None], proj.conic, opac[:, None], colors,
+        ], axis=-1)                                         # [N, 9]
+    else:
+        feats = jnp.concatenate([
+            px[:, None], py[:, None], proj.conic, opac[:, None],
+            colors, proj.depth[:, None], proj.normal_cam,
+            extra_attrs[:, None],
+        ], axis=-1)                                         # [N, 14]
 
     tiles_x = cfg.tiles_x
     chunk = cfg.tile_chunk
@@ -348,9 +359,10 @@ def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
         A, B, C = f[..., 2], f[..., 3], f[..., 4]
         gop = f[..., 5]
         gcol = f[..., 6:9]
-        gdepth = f[..., 9]
-        gnorm = f[..., 10:13]
-        gextra = f[..., 13]
+        if not light:
+            gdepth = f[..., 9]
+            gnorm = f[..., 10:13]
+            gextra = f[..., 13]
 
         ty = (tids // tiles_x).astype(px.dtype)
         tx = (tids % tiles_x).astype(px.dtype)
@@ -372,9 +384,12 @@ def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
         contrib = t_incl >= 1e-4                            # prefix mask == CUDA early-exit
         w = jnp.where(contrib, alpha * t_excl, 0.0)         # [c, P, K]
 
-        chan = jnp.concatenate([
-            gcol, gdepth[..., None], gnorm, gextra[..., None],
-        ], axis=-1)                                         # [c, K, 8]
+        if light:
+            chan = gcol                                     # [c, K, 3]
+        else:
+            chan = jnp.concatenate([
+                gcol, gdepth[..., None], gnorm, gextra[..., None],
+            ], axis=-1)                                     # [c, K, 8]
         acc = jnp.einsum("cpk,ckd->cpd", w, chan)           # MXU matmul
         t_final = jnp.exp(jnp.sum(jnp.where(contrib, log_t, 0.0), axis=-1))
         alpha_out = jnp.sum(w, axis=-1)
@@ -385,7 +400,8 @@ def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
         (tile_idx.reshape(-1, chunk), ids_p.reshape(-1, chunk, K),
          valid_p.reshape(-1, chunk, K)))
     P = tile * tile
-    acc = acc.reshape(-1, P, 8)[:T]
+    nch = 3 if light else 8
+    acc = acc.reshape(-1, P, nch)[:T]
     t_final = t_final.reshape(-1, P)[:T]
     alpha_out = alpha_out.reshape(-1, P)[:T]
 
@@ -397,9 +413,14 @@ def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
         return img[:, :H, :W]
 
     image = to_image(acc[..., 0:3], 3) + to_image(t_final[..., None], 1) * bg[:, None, None]
-    depth = to_image(acc[..., 3:4], 1)
-    normal = to_image(acc[..., 4:7], 3)
-    extra = to_image(acc[..., 7:8], 1)
+    if light:
+        depth = jnp.zeros((1, H, W), image.dtype)
+        normal = jnp.zeros((3, H, W), image.dtype)
+        extra = jnp.zeros((1, H, W), image.dtype)
+    else:
+        depth = to_image(acc[..., 3:4], 1)
+        normal = to_image(acc[..., 4:7], 3)
+        extra = to_image(acc[..., 7:8], 1)
     alpha_img = to_image(alpha_out[..., None], 1)
 
     radii = jnp.where(proj.visible, proj.radius, 0.0).astype(jnp.int32)

@@ -153,7 +153,7 @@ def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
                 preds_dict["ambient_aud"], preds_dict["ambient_eye"],
                 jnp.zeros_like(preds_dict["ambient_eye"])], axis=-1)
             return composite_prepared(cfg, prep_sg, sg(opacity), acolors,
-                                      jnp.zeros_like(bg)).image
+                                      jnp.zeros_like(bg), light=True).image
 
         attn = attn_render(preds)
         if personalized:

@@ -39,14 +39,14 @@ def _mask_lrs(lrs: dict, trainable: set) -> dict:
     return {k: (v if k in trainable else 0.0) for k, v in lrs.items()}
 
 
-def make_fuse_step(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
-                   face_pmf_net, mouth_pmf_net, spatial_lr_scale,
-                   lpips_fn=None, lpips_patch: int = 0):
+def make_fuse_block(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
+                    face_pmf_net, mouth_pmf_net, spatial_lr_scale,
+                    lpips_fn=None, lpips_patches: tuple[int, ...] = ()):
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def _step(face_state, face_gopt, mouth_state, mouth_gopt, face_umf_params,
-              mouth_umf_params, face_pmf_params, mouth_pmf_params,
-              batch: FrameBatch, i, it):
+    def _step_inner(face_state, face_gopt, mouth_state, mouth_gopt,
+                    face_umf_params, mouth_umf_params, face_pmf_params,
+                    mouth_pmf_params, batch: FrameBatch, i, it, patch_idx,
+                    use_lpips):
         cam = batch.camera(i)
         gt = batch.gt_image(i)
         aud = batch.auds[i]
@@ -60,8 +60,15 @@ def make_fuse_step(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
         m_pmf = jax.tree.map(sg, mouth_pmf_params)
 
         def loss_fn(face_params, mouth_params):
-            fst = face_state.replace(params=face_params)
-            mst = mouth_state.replace(params=mouth_params)
+            # geometry frozen (reference requires_grad=False, :156-164):
+            # stop-gradient so no geometry backward is built at all
+            fst = face_state.replace(params=face_params.replace(
+                xyz=sg(face_params.xyz), scaling=sg(face_params.scaling),
+                rotation=sg(face_params.rotation)))
+            mst = mouth_state.replace(params=mouth_params.replace(
+                xyz=sg(mouth_params.xyz), scaling=sg(mouth_params.scaling),
+                rotation=sg(mouth_params.rotation),
+                opacity=sg(mouth_params.opacity)))
             fr = render_motion(
                 cfg, cam, fst,
                 umf=lambda x, a, e: face_net.apply(f_umf, x, a, e),
@@ -81,10 +88,17 @@ def make_fuse_step(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
                                    GREEN, torso_bg)
             loss = l1_loss(image, gt)
             loss += opt_cfg.lambda_dssim * (1.0 - ssim(image, gt))
-            if lpips_patch and lpips_fn is not None:
-                pi = patchify(image * 2 - 1, lpips_patch)
-                pg = patchify(gt * 2 - 1, lpips_patch)
-                loss += 0.05 * lpips_fn(pi, pg).mean()
+            if lpips_fn is not None and lpips_patches:
+                def lp_branch(ps):
+                    def run(imgs):
+                        a, b = imgs
+                        return lpips_fn(patchify(a * 2 - 1, ps),
+                                        patchify(b * 2 - 1, ps)).mean()
+                    return run
+                d = jax.lax.switch(patch_idx,
+                                   [lp_branch(ps) for ps in lpips_patches],
+                                   (image, gt))
+                loss += use_lpips * 0.05 * d
             return loss
 
         loss, (g_face, g_mouth) = jax.value_and_grad(
@@ -101,7 +115,24 @@ def make_fuse_step(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
         return (face_state.replace(params=fp), face_gopt,
                 mouth_state.replace(params=mp), mouth_gopt, loss)
 
-    return _step
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def block(face_state, face_gopt, mouth_state, mouth_gopt,
+              face_umf_params, mouth_umf_params, face_pmf_params,
+              mouth_pmf_params, batch: FrameBatch, idxs, its, patch_idxs,
+              use_lpips_arr):
+        def one(carry, xs):
+            i, it, pidx, ul = xs
+            out = _step_inner(*carry, face_umf_params, mouth_umf_params,
+                              face_pmf_params, mouth_pmf_params, batch,
+                              i, it, pidx, ul)
+            return out[:-1], out[-1]
+
+        carry, losses = jax.lax.scan(
+            one, (face_state, face_gopt, mouth_state, mouth_gopt),
+            (idxs, its, patch_idxs, use_lpips_arr))
+        return carry + (losses,)
+
+    return block
 
 
 def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
@@ -121,47 +152,60 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     mouth_gopt = G.adam_init(mouth_state.params)
     cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
 
-    face_net = MotionNetwork(model_cfg.audio_extractor)
-    mouth_net = MouthMotionNetwork(model_cfg.audio_extractor)
-    face_pmf = PersonalizedMotionNetwork("face", model_cfg.audio_extractor)
-    mouth_pmf = PersonalizedMotionNetwork("mouth", model_cfg.audio_extractor)
+    # motion nets are frozen in fusion -> inference-mode (gather) lookups
+    face_net = MotionNetwork(model_cfg.audio_extractor, onehot=False)
+    mouth_net = MouthMotionNetwork(model_cfg.audio_extractor, onehot=False)
+    face_pmf = PersonalizedMotionNetwork("face", model_cfg.audio_extractor,
+                                         onehot=False)
+    mouth_pmf = PersonalizedMotionNetwork("mouth", model_cfg.audio_extractor,
+                                          onehot=False)
 
     iterations = opt_cfg.iterations
     lpips_start = iterations // 2             # :42
-    patch_sizes = [s for s in (32, 36, 40) if s <= min(h, w)] or [min(h, w)]
+    patch_sizes = tuple(s for s in (32, 36, 40) if s <= min(h, w)) \
+        or (min(h, w),)
 
-    base = make_fuse_step(cfg, opt_cfg, face_net, mouth_net, face_pmf,
-                          mouth_pmf, extent)
-    lp_steps = {}
+    lpips_call = None
     if lpips_enabled:
         lpips_model, lpips_params = load_lpips_params()
 
         def lpips_call(a, b):
             return lpips_model.apply(lpips_params, a, b)
 
-        lp_steps = {ps: make_fuse_step(cfg, opt_cfg, face_net, mouth_net,
-                                       face_pmf, mouth_pmf, extent,
-                                       lpips_call, ps)
-                    for ps in patch_sizes}
+    base = make_fuse_block(cfg, opt_cfg, face_net, mouth_net, face_pmf,
+                           mouth_pmf, extent)
+    lp_block = None
+    if lpips_enabled:
+        lp_block = make_fuse_block(cfg, opt_cfg, face_net, mouth_net,
+                                   face_pmf, mouth_pmf, extent, lpips_call,
+                                   patch_sizes)
 
     rng = np.random.default_rng(seed)
     losses = []
     t0 = time.time()
-    for it in range(1, iterations + 1):
-        i = int(rng.integers(batch.num_frames))
-        if lp_steps and it > lpips_start:
-            step = lp_steps[patch_sizes[int(rng.integers(len(patch_sizes)))]]
-        else:
-            step = base
-        face_state, face_gopt, mouth_state, mouth_gopt, loss = step(
+    block_len = 100
+    it = 1
+    while it <= iterations:
+        block_end = min(iterations, ((it - 1) // block_len + 1) * block_len)
+        if it <= lpips_start < block_end:
+            block_end = lpips_start
+        steps = list(range(it, block_end + 1))
+        idxs = [int(rng.integers(batch.num_frames)) for _ in steps]
+        pidx = [int(rng.integers(len(patch_sizes))) for _ in steps]
+        ul = [float(s > lpips_start) for s in steps]
+        run = lp_block if (lp_block is not None and it > lpips_start) else base
+        (face_state, face_gopt, mouth_state, mouth_gopt, block_losses) = run(
             face_state, face_gopt, mouth_state, mouth_gopt,
             face_bundle["umf_params"], mouth_bundle["umf_params"],
             face_bundle["pmf_params"], mouth_bundle["pmf_params"],
-            batch, i, it)
-        losses.append(float(loss))
-        if it % log_every == 0:
-            print(f"[fuse {it}/{iterations}] "
-                  f"loss={np.mean(losses[-log_every:]):.4f} "
+            batch, jnp.asarray(idxs, jnp.int32), jnp.asarray(steps, jnp.int32),
+            jnp.asarray(pidx, jnp.int32), jnp.asarray(ul, jnp.float32))
+        losses.extend(np.asarray(block_losses).tolist())
+        n = len(steps)
+        it = block_end + 1
+        if block_end % log_every < n:
+            print(f"[fuse {block_end}/{iterations}] "
+                  f"loss={np.mean(losses[-min(log_every, len(losses)):]):.4f} "
                   f"t={time.time()-t0:.0f}s", flush=True)
 
     return dict(face_state=face_state, mouth_state=mouth_state,

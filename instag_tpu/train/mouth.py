@@ -47,19 +47,14 @@ class MouthFlags:
     use_regs: jnp.ndarray   # 0/1
 
 
-def make_mouth_step(cfg: RasterizeConfig, opt_cfg, mouth_net, pmf_net,
-                    face_net, spatial_lr_scale):
-    umf_tx = pmf_tx = None
+def make_mouth_block(cfg: RasterizeConfig, opt_cfg, mouth_net, pmf_net,
+                     face_net, spatial_lr_scale, umf_tx, pmf_tx):
+    """Jitted multi-step mouth training block (lax.scan over steps; see
+    train/face.py for the loop-structure rationale)."""
 
-    def bind(u, p):
-        nonlocal umf_tx, pmf_tx
-        umf_tx, pmf_tx = u, p
-        return _step
-
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
-    def _step(state, gopt, umf_params, umf_opt_state, pmf_params,
-              pmf_opt_state, face_state, face_umf_params, batch: FrameBatch,
-              i, it, k, flags: MouthFlags):
+    def _step_inner(state, gopt, umf_params, umf_opt_state, pmf_params,
+                    pmf_opt_state, face_state, face_umf_params,
+                    batch: FrameBatch, i, it, k, flags: MouthFlags):
         cam = batch.camera(i)
         gt = batch.gt_image(i)
         aud = batch.auds[i]
@@ -118,7 +113,24 @@ def make_mouth_step(cfg: RasterizeConfig, opt_cfg, mouth_net, pmf_net,
         return state, gopt, umf_params, umf_opt_state, pmf_params, \
             pmf_opt_state, loss
 
-    return bind
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+    def block(state, gopt, umf_params, umf_opt_state, pmf_params,
+              pmf_opt_state, face_state, face_umf_params, batch: FrameBatch,
+              idxs, its, ks, flags: MouthFlags):
+        def one(carry, xs):
+            i, it, k, flag = xs
+            out = _step_inner(*carry, face_state, face_umf_params, batch,
+                              i, it, k, flag)
+            return out[:-1], out[-1]
+
+        carry, losses = jax.lax.scan(
+            one,
+            (state, gopt, umf_params, umf_opt_state, pmf_params,
+             pmf_opt_state),
+            (idxs, its, ks, flags))
+        return carry + (losses,)
+
+    return block
 
 
 @jax.jit
@@ -214,8 +226,8 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         umf_params, total_iters=iterations, warm_step=warm_step, long=long)
     pmf_tx, pmf_opt_state = pmf_optimizer(pmf_params)
 
-    step = make_mouth_step(cfg, opt_cfg, mouth_net, pmf_net, face_net,
-                           extent)(umf_tx, pmf_tx)
+    block = make_mouth_block(cfg, opt_cfg, mouth_net, pmf_net, face_net,
+                             extent, umf_tx, pmf_tx)
 
     au25_vals = [r.au25[0] for r in records]
     au25_pcts = records[0].au25[1:]
@@ -225,38 +237,52 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     losses = []
     t0 = time.time()
 
-    for it in range(1, iterations + 1):
-        if it % 1000 == 0:
-            state = G.one_up_sh_degree(state)
-        i = sample_mouth_curriculum(rng, au25_vals, au25_pcts, mouth_px,
-                                    stack, it, warm_step, iterations,
-                                    7 if long else 5)
-        k = int(rng.integers(10, 51))        # :175
-        flags = MouthFlags(align=jnp.float32(it > 1000),
-                           use_regs=jnp.float32(it > warm_step))
-        state, gopt, umf_params, umf_opt_state, pmf_params, pmf_opt_state, \
-            loss = step(state, gopt, umf_params, umf_opt_state, pmf_params,
-                        pmf_opt_state, face_state, face_umf_params, batch,
-                        i, it, k, flags)
-        losses.append(float(loss))
+    interval = opt_cfg.densification_interval
+    it = 1
+    while it <= iterations:
+        block_end = min(iterations, ((it - 1) // interval + 1) * interval,
+                        ((it - 1) // 1000 + 1) * 1000)
+        idxs, its_arr, ks, al, ur = [], [], [], [], []
+        for step_i in range(it, block_end + 1):
+            idxs.append(sample_mouth_curriculum(
+                rng, au25_vals, au25_pcts, mouth_px, stack, step_i,
+                warm_step, iterations, 7 if long else 5))
+            its_arr.append(step_i)
+            ks.append(int(rng.integers(10, 51)))     # :175
+            al.append(float(step_i > 1000))
+            ur.append(float(step_i > warm_step))
+        flags = MouthFlags(align=jnp.asarray(al, jnp.float32),
+                           use_regs=jnp.asarray(ur, jnp.float32))
+        (state, gopt, umf_params, umf_opt_state, pmf_params, pmf_opt_state,
+         block_losses) = block(
+            state, gopt, umf_params, umf_opt_state, pmf_params,
+            pmf_opt_state, face_state, face_umf_params, batch,
+            jnp.asarray(idxs, jnp.int32), jnp.asarray(its_arr, jnp.int32),
+            jnp.asarray(ks, jnp.int32), flags)
+        losses.extend(np.asarray(block_losses).tolist())
+        n = block_end - it + 1
+        it = block_end + 1
+        end = block_end
 
-        if it < densify_until and it > opt_cfg.densify_from_iter \
-                and it % opt_cfg.densification_interval == 0:
+        if end % 1000 == 0:
+            state = G.one_up_sh_degree(state)
+        if end < densify_until and end > opt_cfg.densify_from_iter \
+                and end % interval == 0:
             key, sub = jax.random.split(key)
-            floor = 0.05 + 0.25 * it / max(densify_until, 1)
+            floor = 0.05 + 0.25 * end / max(densify_until, 1)
             state, gopt = G.densify_and_prune(
                 state, gopt, sub, opt_cfg.densify_grad_threshold, floor,
-                extent, 20.0 if it > opt_cfg.opacity_reset_interval else None,
+                extent, 20.0 if end > opt_cfg.opacity_reset_interval else None,
                 opt_cfg.percent_dense)
-            if it > 2000:
-                state = _soften_green(state, batch.camera_center[i])
-        if (not long) and it % opt_cfg.opacity_reset_interval == 0 \
-                and it < densify_until:
+            if end > 2000:
+                state = _soften_green(state, batch.camera_center[idxs[-1]])
+        if (not long) and end % opt_cfg.opacity_reset_interval == 0 \
+                and end < densify_until:
             state, gopt = G.reset_opacity(state, gopt)
 
-        if it % log_every == 0:
-            print(f"[mouth {it}/{iterations}] loss="
-                  f"{np.mean(losses[-log_every:]):.4f} "
+        if end % log_every < n:
+            print(f"[mouth {end}/{iterations}] loss="
+                  f"{np.mean(losses[-min(log_every, len(losses)):]):.4f} "
                   f"pts={int(state.num_alive())} t={time.time()-t0:.0f}s",
                   flush=True)
 

@@ -37,19 +37,22 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     which uses padded 'same' convolution).
     """
     g = _gaussian_window(window_size, 1.5)
-    kernel = jnp.outer(g, g)  # [K, K]
-
     c = img1.shape[0]
 
     def blur(x):
-        # depthwise 'same' conv: [C,H,W] -> [C,H,W]
+        # separable depthwise 'same' conv: [C,H,W] -> [C,H,W]
+        # (two 1-D passes — 2K taps instead of K^2)
         lhs = x[None]  # [1, C, H, W]
-        rhs = jnp.tile(kernel[None, None], (c, 1, 1, 1))  # [C,1,K,K]
+        row_k = jnp.tile(g[None, None, None, :], (c, 1, 1, 1))  # [C,1,1,K]
+        col_k = jnp.tile(g[None, None, :, None], (c, 1, 1, 1))  # [C,1,K,1]
         out = jax.lax.conv_general_dilated(
-            lhs, rhs, window_strides=(1, 1), padding="SAME",
+            lhs, row_k, window_strides=(1, 1), padding="SAME",
             feature_group_count=c,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        out = jax.lax.conv_general_dilated(
+            out, col_k, window_strides=(1, 1), padding="SAME",
+            feature_group_count=c,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))
         return out[0]
 
     mu1 = blur(img1)
