@@ -20,6 +20,8 @@ def main(argv=None):
     parser = make_parser("Few-shot face adaptation")
     parser.add_argument("--long", action="store_true")
     parser.add_argument("--pretrain_path", type=str, default="")
+    parser.add_argument("--start_checkpoint", type=str, default="")
+    parser.add_argument("--test_every", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
     mc, _, oc, args = parse_all(parser, argv)
     mc.type = "face"
@@ -29,15 +31,22 @@ def main(argv=None):
         pretrain = load_bundle(args.pretrain_path)
         if "ema_params" in pretrain:  # pretrain bundle: prefer EMA weights
             pretrain = {"umf_params": pretrain["ema_params"]}
+    resume = load_bundle(args.start_checkpoint) if args.start_checkpoint \
+        else None
 
     res = train_face(mc, oc, pretrain_bundle=pretrain, long=args.long,
-                     seed=args.seed)
+                     seed=args.seed, resume_bundle=resume,
+                     log_dir=mc.model_path or None,
+                     test_every=args.test_every)
 
     if mc.model_path:
         save_cfg(mc.model_path, mc)
         bundle = dict(state=state_to_dict(res["state"]),
                       umf_params=res["umf_params"],
                       pmf_params=res["pmf_params"],
+                      gopt=res["gopt"],
+                      umf_opt_state=res["umf_opt_state"],
+                      pmf_opt_state=res["pmf_opt_state"],
                       iteration=oc.iterations,
                       max_sh_degree=res["max_sh_degree"])
         save_bundle(os.path.join(mc.model_path, "chkpnt_face_latest.pkl"),

@@ -279,7 +279,9 @@ def sample_frame_curriculum(rng, records_meta, stack, it, warm_step,
 def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                pretrain_bundle: dict | None = None, long: bool = False,
                log_every: int = 500, eval_fn=None, warm_step: int = 3000,
-               seed: int = 0, lpips_enabled: bool = True):
+               seed: int = 0, lpips_enabled: bool = True,
+               log_dir: str | None = None, test_every: int = 0,
+               resume_bundle: dict | None = None):
     records = load_frames(model_cfg.source_path, "train",
                           model_cfg.audio_extractor, model_cfg.N_views)
     has_priors = records[0].normal is not None
@@ -315,6 +317,36 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         umf_params, total_iters=iterations, warm_step=warm_step, long=long)
     pmf_tx, pmf_opt_state = pmf_optimizer(pmf_params)
 
+    first_iter = 1
+    if resume_bundle is not None:
+        # resume a checkpointed run (reference --start_checkpoint,
+        # train_face.py:86-90)
+        from ..io.checkpoints import state_from_dict
+        state = state_from_dict(resume_bundle["state"])
+        gopt = jax.tree.map(jnp.asarray, resume_bundle["gopt"])
+        umf_params = jax.tree.map(jnp.asarray, resume_bundle["umf_params"])
+        pmf_params = jax.tree.map(jnp.asarray, resume_bundle["pmf_params"])
+        if "umf_opt_state" in resume_bundle:
+            umf_opt_state = jax.tree.map(jnp.asarray,
+                                         resume_bundle["umf_opt_state"])
+        if "pmf_opt_state" in resume_bundle:
+            pmf_opt_state = jax.tree.map(jnp.asarray,
+                                         resume_bundle["pmf_opt_state"])
+        first_iter = int(resume_bundle.get("iteration", 0)) + 1
+
+    reporter = None
+    if log_dir or test_every:
+        from .report import FaceValReporter
+        try:
+            val_records = load_frames(model_cfg.source_path, "val",
+                                      model_cfg.audio_extractor, -1)
+            val_batch = build_frame_batch(val_records)
+        except Exception:
+            val_batch = None
+        reporter = FaceValReporter(cfg, umf_net, pmf_net, val_batch, batch,
+                                   log_dir)
+        test_every = test_every or max(iterations // 5, 1)
+
     patch_sizes = tuple(s for s in (64, 80, 96) if s <= min(h, w)) \
         or (min(h, w),)
     lpips_call = None
@@ -346,7 +378,7 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     t0 = time.time()
 
     interval = opt_cfg.densification_interval
-    it = 1
+    it = first_iter
     while it <= iterations:
         # block ends at the next host-side event boundary
         block_end = min(iterations,
@@ -417,6 +449,10 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                   f"t={time.time()-t0:.0f}s", flush=True)
         if eval_fn is not None and end % log_every < n:
             eval_fn(end, state, umf_params, pmf_params)
+        if reporter is not None and (end % test_every < n or end == iterations):
+            scores = reporter(end, state, umf_params, pmf_params)
+            print(f"[face eval {end}] " + " ".join(
+                f"{k}={v:.3f}" for k, v in scores.items()), flush=True)
 
     return dict(state=state, gopt=gopt, umf_params=umf_params,
                 umf_opt_state=umf_opt_state, pmf_params=pmf_params,
