@@ -351,6 +351,12 @@ def main(argv=None):
         save_transforms(base_dir, ori_imgs_dir)
     if t == 10:   # split.py variant: last 12 s as val
         save_transforms(base_dir, ori_imgs_dir, last_seconds_val=12)
+    if t in (-1, 11):  # teeth masks (easyportrait equivalent)
+        from .priors import create_teeth_masks
+        create_teeth_masks(base_dir, ori_imgs_dir)
+    if t == 12:        # sapiens geometry priors (optional, few-shot only)
+        from .priors import run_sapiens
+        run_sapiens(base_dir)
 
 
 if __name__ == "__main__":

@@ -160,3 +160,30 @@ def test_extract_images_from_video(tmp_path):
     extract_images(vid_path, out, fps=25)
     files = glob.glob(os.path.join(out, "*.jpg"))
     assert len(files) == 10
+
+
+def test_teeth_mask_landmark_fallback(tmp_path):
+    import cv2
+    from instag_tpu.data_utils.priors import create_teeth_masks
+    d = str(tmp_path)
+    ori = os.path.join(d, "ori_imgs")
+    os.makedirs(ori)
+    h = w = 64
+    for i in range(2):
+        cv2.imwrite(os.path.join(ori, f"{i}.jpg"), np.zeros((h, w, 3), np.uint8))
+        lms = np.zeros((68, 2), np.float32)
+        a = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+        lms[60:68, 0] = 32 + 8 * np.cos(a)
+        lms[60:68, 1] = 40 + 4 * np.sin(a)
+        np.savetxt(os.path.join(ori, f"{i}.lms"), lms, "%f")
+    create_teeth_masks(d, ori)
+    m = np.load(os.path.join(d, "teeth_mask", "0.npy"))
+    assert m.shape == (h, w) and m.dtype == bool
+    assert m.sum() > 20          # inner-mouth polygon filled
+    assert m[5, 5] == False      # far corner empty
+
+
+def test_sapiens_raises_without_weights(tmp_path):
+    from instag_tpu.data_utils.priors import run_sapiens
+    with pytest.raises(RuntimeError, match="sapiens"):
+        run_sapiens(str(tmp_path))
