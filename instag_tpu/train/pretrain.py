@@ -20,7 +20,12 @@ TPU design: identity PMFs are *stacked* along a leading axis and the
 contrastive term evaluates all of them in one vmap — the serialized per-
 identity loop in the reference becomes a single batched network evaluation
 (and the natural identity-sharding axis for multi-chip pre-training,
-SURVEY.md §5.8).
+SURVEY.md §5.8). Like the adaptation trainers, steps run in lax.scan blocks
+between densification events; the random identity is drawn once per block
+(default 25 steps) rather than per step — a coarser interleaving than the
+reference's per-iteration shuffle, chosen so each block is one device
+program (set identity_block=1 to recover per-step switching at per-step
+dispatch cost).
 """
 
 from __future__ import annotations
@@ -73,9 +78,8 @@ def _base_image_loss(image, gt_masked, lambda_dssim):
 
 
 def make_warm_step(cfg, opt_cfg, spatial_lr_scale, mouth: bool):
-    """Static-render warm-up (pretrain_face.py:257-258)."""
+    """Static-render warm-up (pretrain_face.py:257-258), scanned block."""
 
-    @partial(jax.jit, donate_argnums=(0, 1))
     def step(state, gopt, batch: FrameBatch, i, it):
         cam = batch.camera(i)
         gt = batch.gt_image(i)
@@ -109,13 +113,21 @@ def make_warm_step(cfg, opt_cfg, spatial_lr_scale, mouth: bool):
         state = G.update_max_radii(state, out.radii, visible)
         return state, gopt, loss
 
-    return step
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def block(state, gopt, batch: FrameBatch, idxs, its):
+        def one(carry, xs):
+            st, go, loss = step(carry[0], carry[1], batch, xs[0], xs[1])
+            return (st, go), loss
+
+        (state, gopt), losses = jax.lax.scan(one, (state, gopt), (idxs, its))
+        return state, gopt, losses
+
+    return block
 
 
 def make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net, spatial_lr_scale,
                             num_ids: int, umf_tx, pmf_tx):
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
     def step(state, gopt, umf_params, umf_opt_state, pmf_stack, pmf_opt_stack,
              ema_params, cur_id, batch: FrameBatch, i, it,
              flags: PretrainFlags):
@@ -217,13 +229,28 @@ def make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net, spatial_lr_scale,
         return (state, gopt, umf_params, umf_opt_state, pmf_stack,
                 pmf_opt_stack, ema_params, loss)
 
-    return step
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+    def block(state, gopt, umf_params, umf_opt_state, pmf_stack,
+              pmf_opt_stack, ema_params, cur_id, batch: FrameBatch,
+              idxs, its, flags: PretrainFlags):
+        def one(carry, xs):
+            i, it, flag = xs
+            out = step(*carry, cur_id, batch, i, it, flag)
+            return out[:-1], out[-1]
+
+        carry, losses = jax.lax.scan(
+            one,
+            (state, gopt, umf_params, umf_opt_state, pmf_stack,
+             pmf_opt_stack, ema_params),
+            (idxs, its, flags))
+        return carry + (losses,)
+
+    return block
 
 
 def make_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net, face_net,
                              spatial_lr_scale, num_ids: int, umf_tx, pmf_tx):
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
     def step(state, gopt, umf_params, umf_opt_state, pmf_stack, pmf_opt_stack,
              ema_params, cur_id, other_id, face_state, face_umf_params,
              batch: FrameBatch, i, it, flags: PretrainFlags):
@@ -297,7 +324,43 @@ def make_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net, face_net,
         return (state, gopt, umf_params, umf_opt_state, pmf_stack,
                 pmf_opt_stack, ema_params, loss)
 
-    return step
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+    def block(state, gopt, umf_params, umf_opt_state, pmf_stack,
+              pmf_opt_stack, ema_params, cur_id, other_id, face_state,
+              face_umf_params, batch: FrameBatch, idxs, its,
+              flags: PretrainFlags):
+        def one(carry, xs):
+            i, it, flag = xs
+            out = step(*carry, cur_id, other_id, face_state,
+                       face_umf_params, batch, i, it, flag)
+            return out[:-1], out[-1]
+
+        carry, losses = jax.lax.scan(
+            one,
+            (state, gopt, umf_params, umf_opt_state, pmf_stack,
+             pmf_opt_stack, ema_params),
+            (idxs, its, flags))
+        return carry + (losses,)
+
+    return block
+
+
+def _pad_batches(batches):
+    """Pad FrameBatches to a common frame count (repeat last frame) so one
+    compiled block serves every identity."""
+    fmax = max(b.num_frames for b in batches)
+
+    def pad(b: FrameBatch):
+        n = b.num_frames
+        if n == fmax:
+            return b
+        def padleaf(x):
+            widths = [(0, fmax - n)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.concatenate(
+                [x, jnp.repeat(x[-1:], fmax - n, axis=0)], axis=0)
+        return jax.tree.map(padleaf, b)
+
+    return [pad(b) for b in batches]
 
 
 def _load_identity(model_cfg: ModelConfig, name: str, capacity: int,
@@ -327,7 +390,7 @@ def _load_identity(model_cfg: ModelConfig, name: str, capacity: int,
 
 def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                   data_list: list[str], log_every: int = 500, seed: int = 0,
-                  warm_per_id: int = 1000):
+                  warm_per_id: int = 1000, identity_block: int = 25):
     """Multi-identity face UMF pre-training (pretrain_face.py)."""
     n = len(data_list)
     iterations = opt_cfg.iterations * n
@@ -379,54 +442,74 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                                  for _ in range(n)])
 
     extent = metas[0]["extent"]
+    batches = _pad_batches(batches)
     warm = make_warm_step(cfg, opt_cfg, extent, mouth=False)
-    motion_step = make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net,
-                                          extent, n, umf_tx, pmf_tx)
+    motion_block = make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net,
+                                           extent, n, umf_tx, pmf_tx)
 
-    from .face import sample_frame_curriculum
     rng = np.random.default_rng(seed)
     stacks = [[] for _ in range(n)]
     key = keys[-1]
     losses = []
     t0 = time.time()
-    mouth_step_rate = 1.0 / select_iter
 
-    for it in range(1, iterations + 1):
+    interval = opt_cfg.densification_interval
+    it = 1
+    while it <= iterations:
+        block_end = min(iterations,
+                        ((it - 1) // identity_block + 1) * identity_block,
+                        ((it - 1) // interval + 1) * interval,
+                        ((it - 1) // 1000 + 1) * 1000)
+        if it < warm_step:
+            block_end = min(block_end, warm_step - 1)
         sid = int(rng.integers(n))
         state, gopt, batch, meta = states[sid], gopts[sid], batches[sid], metas[sid]
-        if it % 1000 == 0:
-            state = G.one_up_sh_degree(state)
 
-        i = _sample_face_curriculum(rng, meta, stacks[sid], it, warm_step,
-                                    select_iter, select_interval)
+        steps = list(range(it, block_end + 1))
+        idxs = [_sample_face_curriculum(rng, meta, stacks[sid], s_, warm_step,
+                                        select_iter, select_interval)
+                for s_ in steps]
+        its_arr = jnp.asarray(steps, jnp.int32)
+        idxs_arr = jnp.asarray(idxs, jnp.int32)
         if it < warm_step:
-            state, gopt, loss = warm(state, gopt, batch, i, it)
+            state, gopt, block_losses = warm(state, gopt, batch, idxs_arr,
+                                             its_arr)
         else:
             flags = PretrainFlags(
-                use_regs=jnp.float32(it > warm_step),
-                hair_paint=jnp.float32(it > warm_step and it % 7 != 0))
+                use_regs=jnp.asarray([float(s_ > warm_step) for s_ in steps],
+                                     jnp.float32),
+                hair_paint=jnp.asarray(
+                    [float(s_ > warm_step and s_ % 7 != 0) for s_ in steps],
+                    jnp.float32))
             (state, gopt, umf_params, umf_opt_state, pmf_stack,
-             pmf_opt_stack, ema_params, loss) = motion_step(
+             pmf_opt_stack, ema_params, block_losses) = motion_block(
                 state, gopt, umf_params, umf_opt_state, pmf_stack,
-                pmf_opt_stack, ema_params, sid, batch, i, it, flags)
-        losses.append(float(loss))
+                pmf_opt_stack, ema_params, sid, batch, idxs_arr, its_arr,
+                flags)
+        losses.extend(np.asarray(block_losses).tolist())
+        nsteps = len(steps)
+        it = block_end + 1
+        end = block_end
 
-        if it < densify_until and it > opt_cfg.densify_from_iter \
-                and it % opt_cfg.densification_interval == 0:
+        if end % 1000 == 0:
+            state = G.one_up_sh_degree(state)
+        if end < densify_until and end > opt_cfg.densify_from_iter \
+                and end % interval == 0:
             key, sub = jax.random.split(key)
-            floor = 0.05 + 0.25 * it / densify_until
+            floor = 0.05 + 0.25 * end / densify_until
             state, gopt = G.densify_and_prune(
                 state, gopt, sub, opt_cfg.densify_grad_threshold, floor,
                 meta["extent"],
-                20.0 if it > opt_cfg.opacity_reset_interval else None,
+                20.0 if end > opt_cfg.opacity_reset_interval else None,
                 opt_cfg.percent_dense)
-            state, gopt = _prune_green(state, gopt, batch.camera_center[i])
+            state, gopt = _prune_green(state, gopt,
+                                       batch.camera_center[idxs[-1]])
         states[sid], gopts[sid] = state, gopt
 
-        if it % log_every == 0:
-            print(f"[pretrain_face {it}/{iterations}] "
-                  f"loss={np.mean(losses[-log_every:]):.4f} "
-                  f"pts={[int(s.num_alive()) for s in states]} "
+        if end % log_every < nsteps:
+            print(f"[pretrain_face {end}/{iterations}] "
+                  f"loss={np.mean(losses[-min(log_every, len(losses)):]):.4f} "
+                  f"pts={[int(s_.num_alive()) for s_ in states]} "
                   f"t={time.time()-t0:.0f}s", flush=True)
 
     return dict(umf_params=umf_params, ema_params=ema_params,
@@ -482,7 +565,7 @@ def _prune_green(state, opt, campos):
 def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                    data_list: list[str], face_result: dict,
                    log_every: int = 500, seed: int = 0,
-                   warm_per_id: int = 3000):
+                   warm_per_id: int = 3000, identity_block: int = 25):
     """Multi-identity mouth UMF pre-training (pretrain_mouth.py); consumes
     the face pre-training result (per-identity face clouds + EMA face UMF)."""
     n = len(data_list)
@@ -539,9 +622,11 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                                  for _ in range(n)])
 
     extent = metas[0]["extent"]
+    batches = _pad_batches(batches)
     warm = make_warm_step(cfg, opt_cfg, extent, mouth=True)
-    motion_step = make_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net,
-                                           face_net, extent, n, umf_tx, pmf_tx)
+    motion_block = make_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net,
+                                            face_net, extent, n, umf_tx,
+                                            pmf_tx)
 
     from .mouth import sample_mouth_curriculum, _soften_green
     rng = np.random.default_rng(seed)
@@ -550,43 +635,62 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     losses = []
     t0 = time.time()
 
-    for it in range(1, iterations + 1):
+    interval = opt_cfg.densification_interval
+    it = 1
+    while it <= iterations:
+        block_end = min(iterations,
+                        ((it - 1) // identity_block + 1) * identity_block,
+                        ((it - 1) // interval + 1) * interval,
+                        ((it - 1) // 1000 + 1) * 1000)
+        if it < warm_step:
+            block_end = min(block_end, warm_step - 1)
         sid = int(rng.integers(n))
         state, gopt, batch, meta = states[sid], gopts[sid], batches[sid], metas[sid]
-        if it % 1000 == 0:
-            state = G.one_up_sh_degree(state)
-        i = sample_mouth_curriculum(rng, meta["au25"], meta["au25_pcts"],
-                                    meta["mouth_px"], stacks[sid], it,
-                                    warm_step, select_iter, select_interval)
+
+        steps = list(range(it, block_end + 1))
+        idxs = [sample_mouth_curriculum(
+            rng, meta["au25"], meta["au25_pcts"], meta["mouth_px"],
+            stacks[sid], s_, warm_step, select_iter, select_interval)
+            for s_ in steps]
+        its_arr = jnp.asarray(steps, jnp.int32)
+        idxs_arr = jnp.asarray(idxs, jnp.int32)
         if it < warm_step:
-            state, gopt, loss = warm(state, gopt, batch, i, it)
+            state, gopt, block_losses = warm(state, gopt, batch, idxs_arr,
+                                             its_arr)
         else:
             other = sid if n == 1 else int(rng.choice(
                 [k for k in range(n) if k != sid]))
-            flags = PretrainFlags(use_regs=jnp.float32(it > warm_step),
-                                  hair_paint=jnp.float32(0))
+            flags = PretrainFlags(
+                use_regs=jnp.asarray([float(s_ > warm_step) for s_ in steps],
+                                     jnp.float32),
+                hair_paint=jnp.zeros(len(steps), jnp.float32))
             (state, gopt, umf_params, umf_opt_state, pmf_stack,
-             pmf_opt_stack, ema_params, loss) = motion_step(
+             pmf_opt_stack, ema_params, block_losses) = motion_block(
                 state, gopt, umf_params, umf_opt_state, pmf_stack,
                 pmf_opt_stack, ema_params, sid, other, face_states[sid],
-                face_umf_params, batch, i, it, flags)
-        losses.append(float(loss))
+                face_umf_params, batch, idxs_arr, its_arr, flags)
+        losses.extend(np.asarray(block_losses).tolist())
+        nsteps = len(steps)
+        it = block_end + 1
+        end = block_end
 
-        if it < densify_until and it > opt_cfg.densify_from_iter \
-                and it % opt_cfg.densification_interval == 0:
+        if end % 1000 == 0:
+            state = G.one_up_sh_degree(state)
+        if end < densify_until and end > opt_cfg.densify_from_iter \
+                and end % interval == 0:
             key, sub = jax.random.split(key)
-            floor = 0.05 + 0.25 * it / densify_until
+            floor = 0.05 + 0.25 * end / densify_until
             state, gopt = G.densify_and_prune(
                 state, gopt, sub, opt_cfg.densify_grad_threshold, floor,
                 meta["extent"],
-                20.0 if it > opt_cfg.opacity_reset_interval else None,
+                20.0 if end > opt_cfg.opacity_reset_interval else None,
                 opt_cfg.percent_dense)
-            state = _soften_green(state, batch.camera_center[i])
+            state = _soften_green(state, batch.camera_center[idxs[-1]])
         states[sid], gopts[sid] = state, gopt
 
-        if it % log_every == 0:
-            print(f"[pretrain_mouth {it}/{iterations}] "
-                  f"loss={np.mean(losses[-log_every:]):.4f} "
+        if end % log_every < nsteps:
+            print(f"[pretrain_mouth {end}/{iterations}] "
+                  f"loss={np.mean(losses[-min(log_every, len(losses)):]):.4f} "
                   f"t={time.time()-t0:.0f}s", flush=True)
 
     return dict(umf_params=umf_params, ema_params=ema_params,

@@ -58,9 +58,16 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     mu1 = blur(img1)
     mu2 = blur(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = blur(img1 * img1) - mu1_sq
-    sigma2_sq = blur(img2 * img2) - mu2_sq
+    # clamp variances at 0: the blur(x^2) - mu^2 form cancels catastrophically
+    # in f32 when renders carry large unclamped values (early-training SH
+    # blowups), and a negative variance makes the SSIM ratio unbounded
+    sigma1_sq = jnp.maximum(blur(img1 * img1) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(blur(img2 * img2) - mu2_sq, 0.0)
     sigma12 = blur(img1 * img2) - mu1_mu2
+    # Cauchy-Schwarz bound keeps the structure term in [-1, 1] even when the
+    # covariance estimate is cancellation noise
+    bound = jnp.sqrt(sigma1_sq * sigma2_sq + 1e-12)
+    sigma12 = jnp.clip(sigma12, -bound, bound)
 
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
