@@ -110,6 +110,50 @@ def main():
     ms_fwdbwd = (time.time() - t0) / 10 * 1000
     print(f"# rasterizer fwd+bwd: {ms_fwdbwd:.1f} ms/frame", file=sys.stderr)
 
+    # BASELINE.md config 2: hash-grid + SH encoding over 100k query points
+    from instag_tpu.ops.hashgrid import (hashgrid_encode, init_hashgrid,
+                                         triplane_configs)
+    from instag_tpu.utils.sh import sh_basis
+    hcfg = triplane_configs(16, 256 * 0.15)
+    emb = init_hashgrid(jax.random.key(0), hcfg)
+    pts = jax.random.uniform(jax.random.key(1), (100_000, 2),
+                             minval=-0.15, maxval=0.15)
+    dirs = jax.random.normal(jax.random.key(2), (100_000, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    def enc_body(c, _):
+        out = hashgrid_encode(hcfg, emb, pts + 1e-6 * c, 0.15)
+        basis = sh_basis(3, dirs + 0.0 * c)
+        return c + out.sum() + basis.sum(), None
+
+    enc10 = jax.jit(lambda: jax.lax.scan(enc_body, 0.0, None, length=10)[0])
+    enc10().block_until_ready()
+    t0 = time.time()
+    enc10().block_until_ready()
+    print(f"# hash+SH encode 100k pts: {(time.time()-t0)/10*1000:.2f} ms",
+          file=sys.stderr)
+
+    # BASELINE.md config 3: static 30k-splat render at 256x256
+    cfg256 = RasterizeConfig(256, 256, max_per_tile=256, tile_chunk=16)
+
+    @jax.jit
+    def static256(xyz):
+        return rasterize(cfg256, xyz, face_state.get_opacity(),
+                         face_state.get_scaling(), face_state.get_rotation(),
+                         cam.view_transform, cam.full_proj_transform,
+                         cam.camera_center, cam.tanfovx, cam.tanfovy, green,
+                         shs=face_state.get_features(), sh_degree=1,
+                         active=face_state.alive).image
+
+    x = face_state.params.xyz
+    static256(x).block_until_ready()
+    t0 = time.time()
+    for i in range(20):
+        r = static256(x)
+    r.block_until_ready()
+    print(f"# static render 30k @256: {(time.time()-t0)/20*1000:.2f} ms",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "fused_synthesis_512px_fps",
         "value": round(fps, 2),
