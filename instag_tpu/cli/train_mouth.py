@@ -16,6 +16,7 @@ def main(argv=None):
     parser = make_parser("Few-shot mouth adaptation")
     parser.add_argument("--long", action="store_true")
     parser.add_argument("--pretrain_path", type=str, default="")
+    parser.add_argument("--start_checkpoint", type=str, default="")
     parser.add_argument("--seed", type=int, default=0)
     mc, _, oc, args = parse_all(parser, argv)
     mc.type = "mouth"
@@ -29,12 +30,17 @@ def main(argv=None):
         if "ema_params" in pretrain:
             pretrain = {"umf_params": pretrain["ema_params"]}
 
+    resume = load_bundle(args.start_checkpoint) if args.start_checkpoint \
+        else None
     res = train_mouth(mc, oc, face_bundle=face, pretrain_bundle=pretrain,
-                      long=args.long, seed=args.seed)
+                      long=args.long, seed=args.seed, resume_bundle=resume)
 
     bundle = dict(state=state_to_dict(res["state"]),
                   umf_params=res["umf_params"],
                   pmf_params=res["pmf_params"],
+                  gopt=res["gopt"],
+                  umf_opt_state=res["umf_opt_state"],
+                  pmf_opt_state=res["pmf_opt_state"],
                   iteration=oc.iterations)
     save_bundle(os.path.join(mc.model_path, "chkpnt_mouth_latest.pkl"), bundle)
     save_gaussian_ply(os.path.join(

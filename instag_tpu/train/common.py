@@ -60,6 +60,18 @@ class FrameBatch:
         return self.bg[i].astype(jnp.float32).transpose(2, 0, 1) / 255.0
 
 
+def load_training_frames(model_cfg):
+    """Train-split records, plus the val split when --all_for_train
+    (reference scene/dataset_readers.py:370-373)."""
+    from ..data.dataset import load_frames
+    records = load_frames(model_cfg.source_path, "train",
+                          model_cfg.audio_extractor, model_cfg.N_views)
+    if getattr(model_cfg, "all_for_train", False):
+        records = records + load_frames(model_cfg.source_path, "val",
+                                        model_cfg.audio_extractor, -1)
+    return records
+
+
 def build_frame_batch(records: list[FrameRecord],
                       with_priors: bool = False) -> FrameBatch:
     def stack(fn, dtype=None):

@@ -282,9 +282,9 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                seed: int = 0, lpips_enabled: bool = True,
                log_dir: str | None = None, test_every: int = 0,
                resume_bundle: dict | None = None):
-    records = load_frames(model_cfg.source_path, "train",
-                          model_cfg.audio_extractor, model_cfg.N_views)
-    has_priors = records[0].normal is not None
+    from .common import load_training_frames
+    records = load_training_frames(model_cfg)
+    has_priors = all(r.normal is not None for r in records)
     batch = build_frame_batch(records, with_priors=has_priors)
     _, extent = scene_extent(records)
     h, w = records[0].height, records[0].width

@@ -139,8 +139,8 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                face_bundle: dict, mouth_bundle: dict,
                log_every: int = 500, seed: int = 0,
                lpips_enabled: bool = True):
-    records = load_frames(model_cfg.source_path, "train",
-                          model_cfg.audio_extractor, model_cfg.N_views)
+    from .common import load_training_frames
+    records = load_training_frames(model_cfg)
     batch = build_frame_batch(records)
     _, extent = scene_extent(records)
     h, w = records[0].height, records[0].width

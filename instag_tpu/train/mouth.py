@@ -187,9 +187,10 @@ def sample_mouth_curriculum(rng, au25_vals, au25_pcts, mouth_px, stack, it,
 def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 face_bundle: dict, pretrain_bundle: dict | None = None,
                 long: bool = False, log_every: int = 500,
-                warm_step: int = 3000, seed: int = 0):
-    records = load_frames(model_cfg.source_path, "train",
-                          model_cfg.audio_extractor, model_cfg.N_views)
+                warm_step: int = 3000, seed: int = 0,
+                resume_bundle: dict | None = None):
+    from .common import load_training_frames
+    records = load_training_frames(model_cfg)
     batch = build_frame_batch(records)
     _, extent = scene_extent(records)
     h, w = records[0].height, records[0].width
@@ -226,6 +227,21 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         umf_params, total_iters=iterations, warm_step=warm_step, long=long)
     pmf_tx, pmf_opt_state = pmf_optimizer(pmf_params)
 
+    first_iter = 1
+    if resume_bundle is not None:
+        from ..io.checkpoints import state_from_dict
+        state = state_from_dict(resume_bundle["state"])
+        gopt = jax.tree.map(jnp.asarray, resume_bundle["gopt"])
+        umf_params = jax.tree.map(jnp.asarray, resume_bundle["umf_params"])
+        pmf_params = jax.tree.map(jnp.asarray, resume_bundle["pmf_params"])
+        if "umf_opt_state" in resume_bundle:
+            umf_opt_state = jax.tree.map(jnp.asarray,
+                                         resume_bundle["umf_opt_state"])
+        if "pmf_opt_state" in resume_bundle:
+            pmf_opt_state = jax.tree.map(jnp.asarray,
+                                         resume_bundle["pmf_opt_state"])
+        first_iter = int(resume_bundle.get("iteration", 0)) + 1
+
     block = make_mouth_block(cfg, opt_cfg, mouth_net, pmf_net, face_net,
                              extent, umf_tx, pmf_tx)
 
@@ -238,7 +254,7 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     t0 = time.time()
 
     interval = opt_cfg.densification_interval
-    it = 1
+    it = first_iter
     while it <= iterations:
         block_end = min(iterations, ((it - 1) // interval + 1) * interval,
                         ((it - 1) // 1000 + 1) * 1000)
