@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import os
 
-import jax
-
 from ..config import make_parser, parse_all
 from ..io.checkpoints import load_bundle, save_bundle, state_from_dict
 from ..train.pretrain import pretrain_mouth

@@ -8,7 +8,6 @@
 from __future__ import annotations
 
 import os
-import sys
 
 from ..config import make_parser, parse_all, save_cfg
 from ..io.checkpoints import (load_bundle, save_bundle, save_gaussian_ply,

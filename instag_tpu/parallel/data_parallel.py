@@ -22,7 +22,7 @@ from ..models import gaussians as G
 from ..models.motion import MotionNetwork, PersonalizedMotionNetwork
 from ..ops.rasterize import RasterizeConfig
 from ..render import Camera, render_motion
-from ..train.common import FrameBatch, gaussian_lrs, rgb_loss
+from ..train.common import FrameBatch, gaussian_lrs
 from ..utils.losses import l1_loss, ssim
 
 GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)

@@ -9,7 +9,6 @@ traffic in the hot loop.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import numpy as np

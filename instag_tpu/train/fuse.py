@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, OptimizationConfig
-from ..data.dataset import load_frames, scene_extent
+from ..data.dataset import scene_extent
 from ..models import gaussians as G
 from ..models.lpips import load_lpips_params
 from ..models.motion import (MotionNetwork, MouthMotionNetwork,

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import ModelConfig, OptimizationConfig
-from ..data.dataset import load_frames, random_init_points, scene_extent
+from ..data.dataset import random_init_points, scene_extent
 from ..models import gaussians as G
 from ..models.motion import (MotionNetwork, MouthMotionNetwork,
                              PersonalizedMotionNetwork)

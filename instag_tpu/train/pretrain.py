@@ -49,7 +49,7 @@ from ..render import render, render_motion, render_motion_mouth
 from ..utils.losses import l1_loss, ssim
 from ..utils.sh import eval_sh
 from .common import FrameBatch, build_frame_batch, gaussian_lrs, rect_mask
-from .optim import ema_update, label_tree, pmf_optimizer, umf_optimizer
+from .optim import ema_update, label_tree, pmf_optimizer
 
 GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
 

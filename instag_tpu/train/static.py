@@ -10,7 +10,6 @@ on. CLI:
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from functools import partial
