@@ -205,6 +205,7 @@ def render_motion_mouth(cfg: RasterizeConfig, cam: Camera,
     # move feature: k-th largest / k-th smallest y-motion and their range,
     # masked to the face cloud's alive slots (:366-374).
     dy = face_preds["d_xyz"][:, 1]
+    k_max = min(k_max, dy.shape[0])
     dy_max = jnp.where(face_state.alive, dy, -jnp.inf)
     dy_min = jnp.where(face_state.alive, dy, jnp.inf)
     top_max, _ = jax.lax.top_k(dy_max, k_max)
