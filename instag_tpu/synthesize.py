@@ -40,6 +40,11 @@ def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
 
     Returns fn(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
     mouth_pmf, batch, i) -> uint8 [H, W, 3].
+
+    Note: for a whole-clip loop prefer ``make_clip_synthesis_fn`` — it bakes
+    the clip-constant model state into the executable so each frame is one
+    tiny-argument dispatch (flattening the large state pytrees per call costs
+    tens of ms of host time and dominates at 512px otherwise).
     """
     # inference-mode nets: gather lookups (no backward -> one-hot not useful)
     face_net = MotionNetwork(model_cfg.audio_extractor, onehot=False)
@@ -103,22 +108,32 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
     h, w = records[0].height, records[0].width
     cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
 
-    synth = make_synthesis_fn(cfg, model_cfg, dilate, personalized)
+    synth_full = make_synthesis_fn(cfg, model_cfg, dilate, personalized)
 
     face_state: G.GaussianState = fuse_bundle["face_state"]
     mouth_state: G.GaussianState = fuse_bundle["mouth_state"]
-    args = (face_state, mouth_state, fuse_bundle["face_umf_params"],
-            fuse_bundle["mouth_umf_params"], fuse_bundle["face_pmf_params"],
-            fuse_bundle["mouth_pmf_params"], batch)
+    # bake clip-constant model state into the executable: per-frame dispatch
+    # then carries only the frame index
+    synth = jax.jit(lambda i: synth_full(
+        face_state, mouth_state, fuse_bundle["face_umf_params"],
+        fuse_bundle["mouth_umf_params"], fuse_bundle["face_pmf_params"],
+        fuse_bundle["mouth_pmf_params"], batch, i))
 
-    # warmup/compile
-    frame0 = np.asarray(synth(*args, 0))
+    # dispatch ahead and fetch in order: device compute, dispatch, and
+    # host transfers overlap. (On a network-tunneled chip the per-frame
+    # image fetch dominates; device-only throughput is reported by bench.py.)
+    frames = []
+    np.asarray(synth(0))                 # compile
     t0 = time.time()
-    frames = [frame0]
-    for i in range(1, batch.num_frames):
-        frames.append(np.asarray(synth(*args, i)))
+    window = 64
+    pending = []
+    for i in range(batch.num_frames):
+        pending.append(synth(i))
+        if len(pending) >= window:
+            frames.append(np.asarray(pending.pop(0)))
+    frames.extend(np.asarray(p) for p in pending)
     dt = time.time() - t0
-    achieved_fps = (batch.num_frames - 1) / max(dt, 1e-9)
+    achieved_fps = batch.num_frames / max(dt, 1e-9)
 
     video = np.stack(frames)
     if out_path:
