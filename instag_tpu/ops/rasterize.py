@@ -309,25 +309,32 @@ def prepare(cfg: RasterizeConfig, means3d, scales, rotations, viewmatrix,
 
 def composite_prepared(cfg: RasterizeConfig, prep: Prepared, opacities,
                        colors, bg, extra_attrs=None,
-                       light: bool = False) -> RasterizeOutput:
+                       light: bool = False, aux_colors=None):
     """Composite given an existing Prepared (selection is reused; pass a
     stop_gradient'd Prepared for detached-geometry side renders).
 
     ``light=True`` accumulates color+alpha only (depth/normal/extra outputs
     are zeros) — right for the attention-map side renders which consume
-    only the image."""
+    only the image.
+
+    ``aux_colors`` [N, A]: extra per-splat channels composited with
+    *stop-gradient* weights in the same pass, returned as a second value
+    [A, H, W]. This is exactly the reference's detached-geometry attention
+    render (gaussian_renderer/__init__.py:258-283) fused into the main
+    composite: same per-tile weights, gradients flow only to the channels."""
     opac = opacities.reshape(-1)
     if extra_attrs is None:
         extra_attrs = jnp.ones_like(opac)
     else:
         extra_attrs = extra_attrs.reshape(-1)
     return _composite_tiles(cfg, prep.px, prep.py, prep.proj, opac, colors,
-                            extra_attrs, prep.ids, prep.valid, bg, light)
+                            extra_attrs, prep.ids, prep.valid, bg, light,
+                            aux_colors)
 
 
 def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
                      colors, extra_attrs, ids, valid, bg,
-                     light: bool = False) -> RasterizeOutput:
+                     light: bool = False, aux_colors=None):
     H, W, tile = cfg.image_height, cfg.image_width, cfg.tile
     K = cfg.max_per_tile
     cdt = jnp.dtype(cfg.compute_dtype)
@@ -343,6 +350,7 @@ def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
             colors, proj.depth[:, None], proj.normal_cam,
             extra_attrs[:, None],
         ], axis=-1)                                         # [N, 14]
+    n_aux = 0 if aux_colors is None else aux_colors.shape[-1]
 
     tiles_x = cfg.tiles_x
     chunk = cfg.tile_chunk
@@ -395,18 +403,26 @@ def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
             chan = jnp.concatenate([
                 gcol, gdepth[..., None], gnorm, gextra[..., None],
             ], axis=-1)                                     # [c, K, 8]
+        if n_aux:
+            # aux channels use stop-gradient WEIGHTS (detached geometry)
+            gaux = aux_colors[gids].astype(chan.dtype)      # [c, K, A]
+            aux_acc = jnp.einsum("cpk,cka->cpa",
+                                 jax.lax.stop_gradient(w), gaux,
+                                 preferred_element_type=jnp.float32)
         acc = jnp.einsum("cpk,ckd->cpd", w, chan,
                          preferred_element_type=jnp.float32)  # MXU matmul
+        if n_aux:
+            acc = jnp.concatenate([acc, aux_acc], axis=-1)
         t_final = jnp.exp(jnp.sum(jnp.where(contrib, log_t, 0.0), axis=-1))
         alpha_out = jnp.sum(w, axis=-1)
-        return acc, t_final, alpha_out                      # [c,P,8], [c,P], [c,P]
+        return acc, t_final, alpha_out
 
     acc, t_final, alpha_out = jax.lax.map(
         composite,
         (tile_idx.reshape(-1, chunk), ids_p.reshape(-1, chunk, K),
          valid_p.reshape(-1, chunk, K)))
     P = tile * tile
-    nch = 3 if light else 8
+    nch = (3 if light else 8) + n_aux
     acc = acc.reshape(-1, P, nch)[:T]
     t_final = t_final.reshape(-1, P)[:T]
     alpha_out = alpha_out.reshape(-1, P)[:T]
@@ -419,6 +435,7 @@ def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
         return img[:, :H, :W]
 
     image = to_image(acc[..., 0:3], 3) + to_image(t_final[..., None], 1) * bg[:, None, None]
+    base = 3 if light else 8
     if light:
         depth = jnp.zeros((1, H, W), image.dtype)
         normal = jnp.zeros((3, H, W), image.dtype)
@@ -430,7 +447,10 @@ def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
     alpha_img = to_image(alpha_out[..., None], 1)
 
     radii = jnp.where(proj.visible, proj.radius, 0.0).astype(jnp.int32)
-    return RasterizeOutput(image, depth, normal, alpha_img, radii, extra)
+    out = RasterizeOutput(image, depth, normal, alpha_img, radii, extra)
+    if n_aux:
+        return out, to_image(acc[..., base:base + n_aux], n_aux)
+    return out
 
 
 def sh_colors(means3d, campos, shs, sh_degree: int):

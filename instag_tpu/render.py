@@ -141,23 +141,25 @@ def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
                    active=state.alive)
     colors = sh_colors(means3d, cam.camera_center, _masked_features(state),
                        state.max_sh_degree)
-    out = composite_prepared(cfg, prep, opacity, colors, bg)
 
     attn = p_attn = None
     if return_attn:
-        sg = jax.lax.stop_gradient
-        prep_sg = jax.tree.map(sg, prep)
-
-        def attn_render(preds_dict):
-            acolors = jnp.concatenate([
-                preds_dict["ambient_aud"], preds_dict["ambient_eye"],
-                jnp.zeros_like(preds_dict["ambient_eye"])], axis=-1)
-            return composite_prepared(cfg, prep_sg, sg(opacity), acolors,
-                                      jnp.zeros_like(bg), light=True).image
-
-        attn = attn_render(preds)
+        # the attention maps share the main pass's compositing weights
+        # (identical geometry; the reference re-rasterizes with detached
+        # geometry — same math) and ride the same composite as extra
+        # stop-gradient-weighted channels
+        aux = [preds["ambient_aud"], preds["ambient_eye"]]
         if personalized:
-            p_attn = attn_render(p_preds)
+            aux += [p_preds["ambient_aud"], p_preds["ambient_eye"]]
+        out, aux_img = composite_prepared(
+            cfg, prep, opacity, colors, bg,
+            aux_colors=jnp.concatenate(aux, axis=-1))
+        zero = jnp.zeros_like(aux_img[0])
+        attn = jnp.stack([aux_img[0], aux_img[1], zero])
+        if personalized:
+            p_attn = jnp.stack([aux_img[2], aux_img[3], zero])
+    else:
+        out = composite_prepared(cfg, prep, opacity, colors, bg)
 
     return MotionRender(out, preds, p_preds, attn, p_attn)
 
