@@ -1,13 +1,19 @@
 """Checkpoint & PLY export/import for Gaussian states and training bundles.
 
 Three artifact families, mirroring the reference (SURVEY.md §5.4):
-  (a) training checkpoints — here one orbax/msgpack-style .npz bundle per
-      branch containing the Gaussian state, its Adam moments, the motion-net
-      params and their optimizer states, and the iteration;
+  (a) training checkpoints — one **msgpack** bundle per branch (flax
+      serialization: structured states are converted to pure state-dicts of
+      arrays/scalars before writing, so loading never executes code — no
+      pickle) containing the Gaussian state, its Adam moments, the
+      motion-net params and their optimizer states, and the iteration;
   (b) PLY point-cloud snapshots with the vanilla-3DGS attribute layout
       (scene/gaussian_model.py:429-460: x,y,z,nx,ny,nz,f_dc_*,f_rest_*,
       opacity,scale_*,rot_*);
   (c) cfg_args.json (handled in config.py).
+
+Structured leaves (optax opt states, AdamState) come back from
+``load_bundle`` as nested dicts; use ``restore_like(target, d)`` with a
+freshly-initialized target to rebuild the typed pytree.
 
 The fixed-capacity padded state serializes compactly: only alive slots are
 written; loading re-pads to any requested capacity.
@@ -16,11 +22,11 @@ written; loading re-pads to any requested capacity.
 from __future__ import annotations
 
 import os
-import pickle
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from flax import serialization as fser
 
 from ..data.plyio import read_ply, write_ply
 from ..models.gaussians import GaussianParams, GaussianState
@@ -106,6 +112,7 @@ def state_to_dict(state: GaussianState) -> dict:
         "xyz_grad_accum": np.asarray(state.xyz_grad_accum),
         "denom": np.asarray(state.denom),
         "active_sh_degree": int(state.active_sh_degree),
+        "dropped_children": int(state.dropped_children),
         "spatial_lr_scale": float(state.spatial_lr_scale),
         "max_sh_degree": int(state.max_sh_degree),
     }
@@ -120,20 +127,35 @@ def state_from_dict(d: dict) -> GaussianState:
         xyz_grad_accum=jnp.asarray(d["xyz_grad_accum"]),
         denom=jnp.asarray(d["denom"]),
         active_sh_degree=jnp.int32(d["active_sh_degree"]),
-        spatial_lr_scale=d["spatial_lr_scale"],
-        max_sh_degree=d["max_sh_degree"])
+        dropped_children=jnp.int32(d.get("dropped_children", 0)),
+        spatial_lr_scale=float(d["spatial_lr_scale"]),
+        max_sh_degree=int(d["max_sh_degree"]))
 
 
 def save_bundle(path: str, bundle: dict) -> None:
-    """Save a pytree-of-arrays training bundle (np-ified pickle)."""
+    """Save a pytree-of-arrays training bundle as msgpack (code-free load).
+
+    Structured nodes (optax states, flax struct dataclasses) are flattened
+    to state-dicts; rebuild them at load time with ``restore_like``.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    host = jax.tree.map(lambda x: np.asarray(x)
-                        if isinstance(x, (jnp.ndarray, np.ndarray)) else x,
-                        bundle)
+    def to_host(x):
+        if isinstance(x, (jnp.ndarray, np.ndarray, np.generic)):
+            return np.asarray(x)
+        return x  # python scalars/strings are native msgpack types
+    state = fser.to_state_dict(jax.tree.map(to_host, bundle))
     with open(path, "wb") as f:
-        pickle.dump(host, f, protocol=4)
+        f.write(fser.msgpack_serialize(state))
 
 
 def load_bundle(path: str) -> dict:
+    """Load a msgpack bundle as nested dicts of numpy arrays."""
     with open(path, "rb") as f:
-        return pickle.load(f)
+        return fser.msgpack_restore(f.read())
+
+
+def restore_like(target, state_dict):
+    """Rebuild a typed pytree (optax state, AdamState, ...) from a loaded
+    bundle entry, using a freshly-initialized ``target`` for structure."""
+    return jax.tree.map(jnp.asarray,
+                        fser.from_state_dict(target, state_dict))

@@ -31,7 +31,7 @@ def video_psnr(frames_a: np.ndarray, frames_b: np.ndarray) -> float:
 def video_lpips(frames_a: np.ndarray, frames_b: np.ndarray,
                 batch: int = 8) -> float:
     """Mean LPIPS(alex) over frames [T,H,W,3] uint8 (metrics.py LPIPSMeter)."""
-    model, params = load_lpips_params()
+    model, params, real = load_lpips_params()
     apply = jax.jit(model.apply)
     t = frames_a.shape[0]
     vals = []
@@ -91,7 +91,10 @@ def au_error(csv_a: str, csv_b: str) -> dict:
 def evaluate_frames(pred: np.ndarray, gt: np.ndarray,
                     lms_pred: np.ndarray | None = None,
                     lms_gt: np.ndarray | None = None) -> dict:
-    out = {"psnr": video_psnr(pred, gt), "lpips": video_lpips(pred, gt)}
+    from .models.lpips import load_lpips_params as _llp
+    _, _, lpips_real = _llp()
+    out = {"psnr": video_psnr(pred, gt), "lpips": video_lpips(pred, gt),
+           "lpips_real": lpips_real}
     if lms_pred is not None and lms_gt is not None:
         out["lmd"] = lmd_from_landmarks(lms_pred, lms_gt)
     return out

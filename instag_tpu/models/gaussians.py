@@ -71,6 +71,11 @@ class GaussianState:
     xyz_grad_accum: jnp.ndarray   # [C] f32
     denom: jnp.ndarray            # [C] f32
     active_sh_degree: jnp.ndarray  # scalar int32
+    # cumulative children lost to capacity saturation (the reference grows
+    # tensors unboundedly; we drop and COUNT — trainers log this so an
+    # under-provisioned --capacity is visible, not silent)
+    dropped_children: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.int32(0))
     spatial_lr_scale: float = struct.field(pytree_node=False, default=1.0)
     max_sh_degree: int = struct.field(pytree_node=False, default=2)
 
@@ -257,6 +262,7 @@ def densify_and_prune(state: GaussianState, opt: AdamState, key: jax.Array,
     # ---- clone: small high-grad points copied verbatim (:651-665)
     sel_clone = (grads >= max_grad) & (max_scale <= percent_dense * extent) & state.alive
     dest_c = _allocate(state.alive, sel_clone)
+    dropped = jnp.sum(sel_clone & (dest_c >= cap)).astype(jnp.int32)
     params = _scatter_children(p, p, dest_c)
     alive = state.alive.at[dest_c].set(True, mode="drop")
     opt = _zero_moments_at(opt, jnp.zeros((cap,), bool).at[dest_c].set(True, mode="drop"))
@@ -276,6 +282,7 @@ def densify_and_prune(state: GaussianState, opt: AdamState, key: jax.Array,
             features_rest=p.features_rest, identity=p.identity,
             scaling=new_scaling, rotation=p.rotation, opacity=p.opacity)
         dest_s = _allocate(alive, sel_split)
+        dropped = dropped + jnp.sum(sel_split & (dest_s >= cap)).astype(jnp.int32)
         params = _scatter_children(params, child, dest_s)
         alive = alive.at[dest_s].set(True, mode="drop")
         opt = _zero_moments_at(opt, jnp.zeros((cap,), bool).at[dest_s].set(True, mode="drop"))
@@ -294,7 +301,8 @@ def densify_and_prune(state: GaussianState, opt: AdamState, key: jax.Array,
         params=params, alive=alive,
         max_radii2d=jnp.zeros((cap,), jnp.float32),
         xyz_grad_accum=jnp.zeros((cap,), jnp.float32),
-        denom=jnp.zeros((cap,), jnp.float32))
+        denom=jnp.zeros((cap,), jnp.float32),
+        dropped_children=state.dropped_children + dropped)
     return new_state, opt
 
 

@@ -18,6 +18,7 @@ interface is identical so real weights drop in without code changes.
 from __future__ import annotations
 
 import os
+import warnings
 
 import numpy as np
 import flax.linen as nn
@@ -76,8 +77,19 @@ class LPIPS(nn.Module):
         return total
 
 
+_warned_fallback = False
+
+
 def load_lpips_params(rng_seed: int = 0):
-    """Converted weights if present, else fixed-seed random features."""
+    """Load the LPIPS model.
+
+    Returns ``(model, params, real)`` where ``real`` says whether converted
+    AlexNet-LPIPS weights were found. Without them the network falls back to
+    fixed-seed random features and **warns loudly** — random-feature LPIPS
+    preserves the multi-scale structure of the metric but its absolute values
+    are NOT comparable to published LPIPS numbers, and every consumer
+    (metrics.py, STATUS.md) must label them via the ``real`` flag.
+    """
     model = LPIPS()
     dummy = jnp.zeros((1, 3, 64, 64))
     params = model.init(jax.random.key(rng_seed), dummy, dummy)
@@ -85,7 +97,6 @@ def load_lpips_params(rng_seed: int = 0):
     path = os.environ.get("INSTAG_LPIPS_WEIGHTS", "weights/lpips_alex.npz")
     if os.path.exists(path):
         data = np.load(path)
-        flat = dict(params["params"])
 
         def put(tree, keys, val):
             node = tree
@@ -101,21 +112,44 @@ def load_lpips_params(rng_seed: int = 0):
             put(mut, ["alex", f"conv_{i}", "bias"], data[f"conv_{i}_b"])
             put(mut, [f"lin_{i}"], data[f"lin_{i}"])
         params = {"params": mut}
-    return model, params
+        return model, params, True
+
+    global _warned_fallback
+    if not _warned_fallback:
+        _warned_fallback = True
+        warnings.warn(
+            "LPIPS: no converted AlexNet weights at "
+            f"'{path}' — falling back to FIXED-SEED RANDOM FEATURES. "
+            "Perceptual-loss training still works but reported LPIPS values "
+            "are not comparable to published numbers (lpips_real=false). "
+            "Provide weights via convert_torch_lpips() or "
+            "INSTAG_LPIPS_WEIGHTS.", stacklevel=2)
+    return model, params, False
 
 
-def convert_torch_lpips(out_path: str = "weights/lpips_alex.npz") -> None:
-    """Convert the pip `lpips` AlexNet weights to our .npz layout.
-    Requires the lpips package + its cached weights (not in this image)."""
-    import lpips as lpips_pkg  # noqa
-    net = lpips_pkg.LPIPS(net="alex")
-    sd = net.state_dict()
+def convert_torch_lpips(out_path: str = "weights/lpips_alex.npz",
+                        state_dict=None) -> str:
+    """Convert pip-`lpips` AlexNet weights to our .npz layout.
+
+    ``state_dict``: a torch-layout mapping (``net.sliceX.Y.weight`` [O,I,K,K],
+    ``lins.i.model.1.weight`` [1,C,1,1]) — pass one directly, or leave None
+    to instantiate ``lpips.LPIPS(net='alex')`` (requires the pip package and
+    its cached weights; not in this image).
+    """
+    if state_dict is None:
+        import lpips as lpips_pkg  # noqa
+        state_dict = lpips_pkg.LPIPS(net="alex").state_dict()
+
+    def npy(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
     out = {}
     conv_ids = [0, 3, 6, 8, 10]
     for i, cid in enumerate(conv_ids):
-        w = sd[f"net.slice{i+1}.{cid}.weight"].numpy()  # [O,I,K,K]
-        out[f"conv_{i}_w"] = w.transpose(2, 3, 1, 0)    # HWIO
-        out[f"conv_{i}_b"] = sd[f"net.slice{i+1}.{cid}.bias"].numpy()
-        out[f"lin_{i}"] = sd[f"lins.{i}.model.1.weight"].numpy().reshape(-1)
+        w = npy(state_dict[f"net.slice{i+1}.{cid}.weight"])  # [O,I,K,K]
+        out[f"conv_{i}_w"] = w.transpose(2, 3, 1, 0)          # HWIO
+        out[f"conv_{i}_b"] = npy(state_dict[f"net.slice{i+1}.{cid}.bias"])
+        out[f"lin_{i}"] = npy(state_dict[f"lins.{i}.model.1.weight"]).reshape(-1)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     np.savez(out_path, **out)
+    return out_path

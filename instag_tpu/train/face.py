@@ -321,16 +321,16 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     if resume_bundle is not None:
         # resume a checkpointed run (reference --start_checkpoint,
         # train_face.py:86-90)
-        from ..io.checkpoints import state_from_dict
+        from ..io.checkpoints import restore_like, state_from_dict
         state = state_from_dict(resume_bundle["state"])
-        gopt = jax.tree.map(jnp.asarray, resume_bundle["gopt"])
+        gopt = restore_like(gopt, resume_bundle["gopt"])
         umf_params = jax.tree.map(jnp.asarray, resume_bundle["umf_params"])
         pmf_params = jax.tree.map(jnp.asarray, resume_bundle["pmf_params"])
         if "umf_opt_state" in resume_bundle:
-            umf_opt_state = jax.tree.map(jnp.asarray,
+            umf_opt_state = restore_like(umf_opt_state,
                                          resume_bundle["umf_opt_state"])
         if "pmf_opt_state" in resume_bundle:
-            pmf_opt_state = jax.tree.map(jnp.asarray,
+            pmf_opt_state = restore_like(pmf_opt_state,
                                          resume_bundle["pmf_opt_state"])
         first_iter = int(resume_bundle.get("iteration", 0)) + 1
 
@@ -351,7 +351,7 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         or (min(h, w),)
     lpips_call = None
     if lpips_enabled:
-        lpips_model, lpips_params = load_lpips_params()
+        lpips_model, lpips_params, _lpips_real = load_lpips_params()
 
         def lpips_call(a, b):
             return lpips_model.apply(lpips_params, a, b)
@@ -443,10 +443,12 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 state, gopt, batch.camera_center[idxs[-1]], end, not long)
 
         if end % log_every < n:
+            dropped = int(state.dropped_children)
             print(f"[face {end}/{iterations}] loss="
                   f"{np.mean(losses[-min(log_every, len(losses)):]):.4f} "
                   f"pts={int(state.num_alive())} "
-                  f"t={time.time()-t0:.0f}s", flush=True)
+                  + (f"capacity_dropped={dropped} " if dropped else "")
+                  + f"t={time.time()-t0:.0f}s", flush=True)
         if eval_fn is not None and end % log_every < n:
             eval_fn(end, state, umf_params, pmf_params)
         if reporter is not None and (end % test_every < n or end == iterations):

@@ -167,7 +167,7 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     lpips_call = None
     if lpips_enabled:
-        lpips_model, lpips_params = load_lpips_params()
+        lpips_model, lpips_params, _lpips_real = load_lpips_params()
 
         def lpips_call(a, b):
             return lpips_model.apply(lpips_params, a, b)

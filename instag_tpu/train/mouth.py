@@ -229,16 +229,16 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     first_iter = 1
     if resume_bundle is not None:
-        from ..io.checkpoints import state_from_dict
+        from ..io.checkpoints import restore_like, state_from_dict
         state = state_from_dict(resume_bundle["state"])
-        gopt = jax.tree.map(jnp.asarray, resume_bundle["gopt"])
+        gopt = restore_like(gopt, resume_bundle["gopt"])
         umf_params = jax.tree.map(jnp.asarray, resume_bundle["umf_params"])
         pmf_params = jax.tree.map(jnp.asarray, resume_bundle["pmf_params"])
         if "umf_opt_state" in resume_bundle:
-            umf_opt_state = jax.tree.map(jnp.asarray,
+            umf_opt_state = restore_like(umf_opt_state,
                                          resume_bundle["umf_opt_state"])
         if "pmf_opt_state" in resume_bundle:
-            pmf_opt_state = jax.tree.map(jnp.asarray,
+            pmf_opt_state = restore_like(pmf_opt_state,
                                          resume_bundle["pmf_opt_state"])
         first_iter = int(resume_bundle.get("iteration", 0)) + 1
 

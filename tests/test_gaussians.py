@@ -170,3 +170,21 @@ def test_densify_under_jit():
 
     new, _ = run(state, opt, jax.random.key(0))
     assert int(new.num_alive()) == 16  # nothing selected, nothing pruned
+
+
+def test_capacity_drop_counter():
+    """Children beyond capacity are dropped AND counted (VERDICT weak-4)."""
+    import jax.numpy as jnp
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (14, 3)).astype(np.float32))
+    cols = jnp.ones((14, 3)) * 0.5
+    state = create_from_points(pts, cols, capacity=16)
+    opt = adam_init(state.params)
+    # force every point to want a clone: huge accumulated grads
+    state = state.replace(xyz_grad_accum=jnp.ones(16) * 10.0,
+                          denom=jnp.ones(16))
+    new, _ = densify_and_prune(state, opt, jax.random.key(0),
+                               max_grad=1e-6, min_opacity=0.0, extent=100.0,
+                               max_screen_size=None, percent_dense=1.0)
+    # 14 clones wanted, 2 free slots -> 12 dropped
+    assert int(new.dropped_children) == 12
+    assert int(new.num_alive()) == 16

@@ -84,47 +84,55 @@ def test_dp_face_step_runs_on_mesh():
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
-def test_identity_parallel_pretrain_step():
-    """One identity-parallel pre-training step over a 4-device 'id' mesh:
-    every device trains its own identity, UMF grads all-reduce."""
+def _idp_fixture(n_ids, cfg_size=32):
     import tempfile
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from instag_tpu.config import OptimizationConfig
     from instag_tpu.data.synthetic import generate_scene
-    from instag_tpu.data.dataset import load_frames, random_init_points, scene_extent
+    from instag_tpu.data.dataset import load_frames, random_init_points
     from instag_tpu.models import gaussians as G
     from instag_tpu.models.motion import MotionNetwork, PersonalizedMotionNetwork
     from instag_tpu.ops.rasterize import RasterizeConfig
-    from instag_tpu.parallel.identity_parallel import (make_idp_pretrain_step,
-                                                       stack_identities)
     from instag_tpu.train.common import build_frame_batch
     from instag_tpu.train.optim import pmf_optimizer, umf_optimizer
 
-    n_ids = 4
-    mesh = Mesh(np.array(jax.devices()[:n_ids]), ("id",))
-    cfg = RasterizeConfig(32, 32, max_per_tile=32, tile_chunk=4)
-
-    states, gopts, pmfs, pmf_opts, batches = [], [], [], [], []
+    cfg = RasterizeConfig(cfg_size, cfg_size, max_per_tile=32, tile_chunk=4)
+    states, gopts, pmfs, batches = [], [], [], []
     umf_net = MotionNetwork("deepspeech")
     pmf_net = PersonalizedMotionNetwork("face", "deepspeech")
     for k in range(n_ids):
         d = tempfile.mkdtemp()
-        generate_scene(d, n_frames=4, size=32, n_val=1, seed=k)
+        generate_scene(d, n_frames=4, size=cfg_size, n_val=1, seed=k)
         records = load_frames(d, "train", "deepspeech")
         batches.append(build_frame_batch(records))
         xyz, colors = random_init_points(64, seed=k)
         st = G.create_from_points(jnp.asarray(xyz), jnp.asarray(colors), 128, 1, 1.0)
         states.append(st)
         gopts.append(G.adam_init(st.params))
-        key = jax.random.key(k)
-        pmfs.append(pmf_net.init(key, st.params.xyz[:4], batches[0].auds[0],
-                                 batches[0].au_exp[0]))
+        pmfs.append(pmf_net.init(jax.random.key(k), st.params.xyz[:4],
+                                 batches[0].auds[0], batches[0].au_exp[0]))
     umf_params = umf_net.init(jax.random.key(99), states[0].params.xyz[:4],
                               batches[0].auds[0], batches[0].au_exp[0])
     oc = OptimizationConfig(position_lr_max_steps=100)
     umf_tx, umf_opt = umf_optimizer(umf_params, total_iters=100, warm_step=0)
     pmf_tx, pmf_opt1 = pmf_optimizer(pmfs[0])
     pmf_opts = [jax.tree.map(jnp.array, pmf_opt1) for _ in range(n_ids)]
+    return (cfg, oc, umf_net, pmf_net, umf_tx, umf_opt, pmf_tx, states,
+            gopts, pmfs, pmf_opts, batches, umf_params)
+
+
+def test_identity_parallel_pretrain_step():
+    """One identity-parallel pre-training step over a 4-device 'id' mesh:
+    every device trains its own identity, UMF grads all-reduce."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from instag_tpu.parallel.identity_parallel import (make_idp_densify,
+                                                       make_idp_pretrain_step,
+                                                       stack_identities)
+    from instag_tpu.train.pretrain import PretrainFlags
+
+    n_ids = 4
+    mesh = Mesh(np.array(jax.devices()[:n_ids]), ("id",))
+    (cfg, oc, umf_net, pmf_net, umf_tx, umf_opt, pmf_tx, states, gopts,
+     pmfs, pmf_opts, batches, umf_params) = _idp_fixture(n_ids)
 
     step = make_idp_pretrain_step(cfg, oc, umf_net, pmf_net, 1.0, n_ids,
                                   mesh, umf_tx, pmf_tx)
@@ -141,14 +149,84 @@ def test_identity_parallel_pretrain_step():
     batch_stack = put_id(stack_identities(batches))
     umf_params = put_rep(umf_params)
     umf_opt = put_rep(umf_opt)
+    ema_params = put_rep(jax.tree.map(jnp.array, umf_params))
     frame_idx = jax.device_put(jnp.zeros(n_ids, jnp.int32), id_sh)
+    flags = PretrainFlags(use_regs=jnp.float32(1.0),
+                          hair_paint=jnp.float32(0.0))
 
     out = step(states_stack, gopt_stack, umf_params, umf_opt, pmf_stack,
-               pmf_opt_stack, batch_stack, frame_idx, 1)
-    loss = float(out[-1])
-    assert np.isfinite(loss)
+               pmf_opt_stack, ema_params, batch_stack, frame_idx, 1, flags)
+    losses = np.asarray(out[-1])
+    assert losses.shape == (n_ids,)
+    assert np.isfinite(losses).all()
     # per-identity clouds moved independently, UMF stayed replicated+finite
     new_states = out[0]
     assert new_states.params.xyz.shape[0] == n_ids
     for leaf in jax.tree.leaves(out[2]):
         assert np.isfinite(np.asarray(leaf)).all()
+    # densification stats accumulated per identity (means2D hook is live)
+    assert float(np.asarray(new_states.denom).sum()) > 0
+
+    # block-boundary densification runs vmapped under the same sharding
+    # (percent_dense high => clones, so the alive count visibly grows)
+    import dataclasses
+    alive_before = int(np.asarray(new_states.num_alive()))
+    densify = make_idp_densify(dataclasses.replace(oc, percent_dense=1.0),
+                               extent=1.0)
+    big = jax.tree.map(jnp.array, new_states).replace(
+        xyz_grad_accum=jnp.ones_like(new_states.xyz_grad_accum) * 10.0,
+        denom=jnp.ones_like(new_states.denom))
+    dstates, dgopts = densify(big, jax.tree.map(jnp.array, out[1]),
+                              jax.random.key(0), 0.005)
+    assert int(dstates.num_alive()) > alive_before
+
+
+def test_identity_parallel_loss_matches_serial():
+    """VERDICT r1 item 5: the idp per-identity loss equals the serial
+    pre-training step's loss on identical inputs."""
+    from jax.sharding import Mesh
+    from instag_tpu.parallel.identity_parallel import (make_idp_pretrain_step,
+                                                       stack_identities)
+    from instag_tpu.train.pretrain import (PretrainFlags,
+                                           make_pretrain_face_step)
+
+    n_ids = 2
+    mesh = Mesh(np.array(jax.devices()[:n_ids]), ("id",))
+    (cfg, oc, umf_net, pmf_net, umf_tx, umf_opt, pmf_tx, states, gopts,
+     pmfs, pmf_opts, batches, umf_params) = _idp_fixture(n_ids)
+
+    pmf_stack = stack_identities(pmfs)
+    pmf_opt_stack = stack_identities(pmf_opts)
+    ema_params = jax.tree.map(jnp.array, umf_params)
+    flags = PretrainFlags(use_regs=jnp.float32(1.0),
+                          hair_paint=jnp.float32(0.0))
+
+    # serial: one step per identity on its own state/batch
+    serial_block = make_pretrain_face_step(cfg, oc, umf_net, pmf_net, 1.0,
+                                           n_ids, umf_tx, pmf_tx)
+    serial_losses = []
+    for k in range(n_ids):
+        sflags = PretrainFlags(use_regs=jnp.ones((1,), jnp.float32),
+                               hair_paint=jnp.zeros((1,), jnp.float32))
+        res = serial_block(
+            jax.tree.map(jnp.array, states[k]),
+            jax.tree.map(jnp.array, gopts[k]),
+            jax.tree.map(jnp.array, umf_params),
+            jax.tree.map(jnp.array, umf_opt),
+            jax.tree.map(jnp.array, pmf_stack),
+            jax.tree.map(jnp.array, pmf_opt_stack),
+            jax.tree.map(jnp.array, ema_params),
+            jnp.int32(k), batches[k],
+            jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32), sflags)
+        serial_losses.append(float(res[-1][0]))
+
+    # identity-parallel: all at once
+    step = make_idp_pretrain_step(cfg, oc, umf_net, pmf_net, 1.0, n_ids,
+                                  mesh, umf_tx, pmf_tx)
+    out = step(stack_identities(states), stack_identities(gopts),
+               umf_params, umf_opt, pmf_stack, pmf_opt_stack, ema_params,
+               stack_identities(batches),
+               jnp.zeros(n_ids, jnp.int32), 1, flags)
+    idp_losses = np.asarray(out[-1])
+    np.testing.assert_allclose(idp_losses, np.asarray(serial_losses),
+                               rtol=2e-4, atol=2e-5)

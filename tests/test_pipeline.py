@@ -5,6 +5,8 @@ Mirrors scripts/train_xx_few.sh at miniature scale (SURVEY.md §2.2)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.e2e  # compile-heavy; quick suite: -m 'not e2e'
+
 import jax
 
 from instag_tpu.config import ModelConfig, OptimizationConfig

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.e2e  # compile-heavy; quick suite: -m 'not e2e'
+
 from instag_tpu.config import ModelConfig, OptimizationConfig
 from instag_tpu.data.synthetic import generate_scene
 
