@@ -20,6 +20,9 @@ def main(argv=None):
                         help="comma-separated identity dir names under "
                              "source_path; default: all subdirs")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--share_audio_net", action="store_true",
+                        help="tie PMF audio encoders to the UMF's "
+                             "(reference pretrain_face.py:79)")
     mc, _, oc, args = parse_all(parser, argv)
     mc.type = "face"
 
@@ -30,7 +33,8 @@ def main(argv=None):
             d for d in os.listdir(mc.source_path)
             if os.path.isdir(os.path.join(mc.source_path, d)))
 
-    res = pretrain_face(mc, oc, data_list, seed=args.seed)
+    res = pretrain_face(mc, oc, data_list, seed=args.seed,
+                        share_audio_net=args.share_audio_net)
 
     save_cfg(mc.model_path, mc)
     save_bundle(os.path.join(mc.model_path, "chkpnt_face_latest.pkl"),

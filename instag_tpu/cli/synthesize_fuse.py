@@ -35,9 +35,14 @@ def main(argv=None):
 
     split = "train" if args.use_train else "val"
     out = os.path.join(mc.model_path, "out.mp4")
+    # reference dumps the first 11 deformed face clouds unless --fast
+    # (synthesize_fuse.py:61-63)
     video, fps = synthesize(mc, bundle, split=split, audio_file=mc.audio,
                             dilate=args.dilate,
-                            personalized=args.personalized, out_path=out)
+                            personalized=args.personalized, out_path=out,
+                            dump_plys=0 if args.fast else 11,
+                            ply_dir=os.path.join(mc.model_path,
+                                                 "deformed_ply"))
     print(f"wrote {out}: {video.shape[0]} frames @ {fps:.1f} FPS synthesis")
 
 

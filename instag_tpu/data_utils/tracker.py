@@ -1,16 +1,21 @@
-"""Landmark-based head-pose tracker (task 8).
+"""Head-pose + photometric 3DMM tracker (task 8).
 
-Native replacement for the reference's BFM-2009 photometric tracker
-(data_utils/face_tracking/face_tracker.py): instead of a pytorch3d
-differentiable-mesh fit, per-frame pose comes from PnP against a canonical
-3-D 68-landmark template, with the same two outer stages the reference uses —
-(1) focal-length grid search over 600-1400 by landmark reprojection error
-(:60-130), (2) per-frame pose refinement (:317-350; here RANSAC-PnP + a
-temporal smoothing pass). Output: track_params.npz with
-{euler [N,3], trans [N,3] (stored x10 like the reference — see
-camera_extrinsic_toy_test readme and the /10.0 at process.py:404),
-focal [1], id, exp, light (zeros — appearance fitting is 3DMM-specific and
-not needed by any downstream consumer of this pipeline)}.
+Native replacement for the reference's BFM-2009 tracker
+(data_utils/face_tracking/face_tracker.py), in the same stages:
+  1. focal-length grid search over 600-1400 by landmark reprojection error
+     (:60-130) with PnP against a canonical 68-landmark template;
+  2. per-frame PnP pose + temporal smoothing — the initialization;
+  3. when a morphable model is available (``model_path`` arg, the
+     ``INSTAG_3DMM`` env var, or ``<base>/3DMM/3dmm_model.npz`` — convert
+     the reference's 3DMM_info.npy with ``face_model.convert_bfm_info``),
+     the full photometric fit (photometric.py): landmark pose refit, joint
+     id/exp, texture + SH lighting on a 32-frame batch, per-batch fine fit
+     (:159-350) over the JAX differentiable mesh renderer — filling the
+     ``id``/``exp``/``light`` outputs the PnP-only path zeroes.
+
+Output: track_params.npz with {euler [N,3], trans [N,3] (stored x10 like
+the reference — see camera_extrinsic_toy_test readme and the /10.0 at
+process.py:404), focal [1], id [100], exp [N,79], light [N,27]}.
 """
 
 from __future__ import annotations
@@ -87,9 +92,19 @@ def _solve_frame(cv2, obj, img_pts, K):
     return ok, rvec, tvec
 
 
+def _find_model(base_dir: str, model_path: str | None) -> str | None:
+    for cand in (model_path, os.environ.get("INSTAG_3DMM"),
+                 os.path.join(base_dir, "3DMM", "3dmm_model.npz")):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
 def track_poses(base_dir: str, ori_imgs_dir: str,
                 focal_candidates=range(600, 1500, 100),
-                smooth: int = 5) -> None:
+                smooth: int = 5, model_path: str | None = None,
+                photometric_iters=(400, 600, 60, 40),
+                downscale: int = 4, model=None) -> None:
     import cv2
     lms_paths = sorted(glob.glob(os.path.join(ori_imgs_dir, "*.lms")),
                        key=lambda p: int(os.path.basename(p).split(".")[0]))
@@ -139,6 +154,43 @@ def track_poses(base_dir: str, ori_imgs_dir: str,
     Rs = np.stack(Rs)
     ts = np.stack(ts)
 
+    # stage 3: photometric 3DMM fit (reference :159-350) when a morphable
+    # model is available; refines pose and fills id/exp/light
+    id_out = np.zeros((100,), np.float32)
+    exp_out = np.zeros((len(lms), 79), np.float32)
+    light_out = np.zeros((len(lms), 27), np.float32)
+    mpath = None if model is not None else _find_model(base_dir, model_path)
+    if model is not None or mpath is not None:
+        from .face_model import load_model
+        from .photometric import fit_photometric
+        if model is None:
+            model = load_model(mpath)
+        ds = max(1, downscale)
+        imgs = []
+        for p in lms_paths:
+            im = cv2.imread(p.replace(".lms", ".jpg"))[:, :, ::-1]
+            if ds > 1:
+                im = cv2.resize(im, (w // ds, h // ds),
+                                interpolation=cv2.INTER_AREA)
+            imgs.append(im.astype(np.float32) / 255.0)
+        imgs = np.stack(imgs)
+        fit = fit_photometric(
+            model, (lms / ds).astype(np.float32), imgs,
+            best_focal / ds, cx / ds, cy / ds,
+            euler_init=rot2euler(Rs), trans_init=ts,
+            iters=photometric_iters)
+        print(f"[tracker] photometric fit: landmark err "
+              f"{fit['lan_err_px'] * ds:.2f}px (was PnP {best_err:.2f}px)")
+        from .photometric import euler2rot_jax
+        Rs = np.asarray(euler2rot_jax(fit["euler"]))
+        ts = fit["trans"].astype(np.float64)
+        nid = min(100, fit["id"].shape[0])
+        id_out[:nid] = fit["id"][:nid]
+        nexp = min(79, fit["exp"].shape[1])
+        exp_out[:, :nexp] = fit["exp"][:, :nexp]
+        light_out[:] = fit["light"]
+        smooth = 1  # the fine stage already smooths (rigid-vertex laplacian)
+
     # PnP gives world->COLMAP-camera (x right, y down, z forward). The
     # transforms json stores OpenGL-convention c2w that the reader flips
     # back to COLMAP (dataset.py _camera_matrices), so the stored w2c must
@@ -162,7 +214,5 @@ def track_poses(base_dir: str, ori_imgs_dir: str,
              euler=euler.astype(np.float32),
              trans=(ts * 10.0).astype(np.float32),
              focal=np.array([best_focal], np.float32),
-             id=np.zeros((100,), np.float32),
-             exp=np.zeros((len(lms), 79), np.float32),
-             light=np.zeros((len(lms), 27), np.float32))
+             id=id_out, exp=exp_out, light=light_out)
     print(f"[tracker] wrote track_params.npz for {len(lms)} frames")

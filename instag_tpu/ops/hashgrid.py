@@ -141,6 +141,24 @@ def hashgrid_encode(cfg: HashGridConfig, embeddings: jnp.ndarray,
         pos_grid = pos_grid.astype(jnp.uint32)
 
         side = resolution if cfg.align_corners else resolution + 1
+        # Dense 2-D levels (every live tri-plane level): axis-factorized
+        # bilinear — two [N, side] per-axis weight rows contracted with the
+        # [side, side, C] table on the MXU. O(N·side) work instead of the
+        # O(N·side^2) one-hot, no gather/scatter anywhere; indices and
+        # weights identical to the corner loop below.
+        if not use_hash and D == 2 and side * side <= hsize + 8:
+            x0 = pos_grid[:, 0].astype(jnp.int32)
+            y0 = pos_grid[:, 1].astype(jnp.int32)
+            iota = jnp.arange(side, dtype=jnp.int32)[None, :]
+            fx, fy = frac[:, 0:1], frac[:, 1:2]
+            Rx = ((iota == x0[:, None]) * (1.0 - fx)
+                  + (iota == x0[:, None] + 1) * fx)          # [N, side]
+            Ry = ((iota == y0[:, None]) * (1.0 - fy)
+                  + (iota == y0[:, None] + 1) * fy)
+            T2 = table[:side * side].reshape(side, side * cfg.level_dim)
+            M = (Ry @ T2).reshape(x.shape[0], side, cfg.level_dim)
+            outs.append(jnp.einsum("ns,nsc->nc", Rx, M))
+            continue
         use_onehot = hsize <= cfg.onehot_threshold
         if use_onehot:
             iota = jnp.arange(hsize, dtype=jnp.int32)[None, :]

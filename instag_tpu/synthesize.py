@@ -93,11 +93,43 @@ def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
     return synth
 
 
+def export_deformed_plys(cfg: RasterizeConfig, model_cfg: ModelConfig,
+                         fuse_bundle: dict, batch: FrameBatch, out_dir: str,
+                         n_frames: int = 11, personalized: bool = False):
+    """Dump the first ``n_frames`` deformed face clouds as PLYs
+    (reference synthesize_fuse.py:61-63 save_deformed_ply)."""
+    from .io.checkpoints import save_gaussian_ply
+
+    face_net = MotionNetwork(model_cfg.audio_extractor, onehot=False)
+    face_pmf_net = PersonalizedMotionNetwork("face", model_cfg.audio_extractor,
+                                             onehot=False)
+    face_state: G.GaussianState = fuse_bundle["face_state"]
+
+    @jax.jit
+    def deformed(i):
+        xyz0 = face_state.params.xyz
+        p = face_pmf_net.apply(fuse_bundle["face_pmf_params"], xyz0,
+                               batch.auds[i], batch.au_exp[i])
+        xyz = xyz0 + p["p_xyz"]
+        preds = face_net.apply(fuse_bundle["face_umf_params"], xyz,
+                               batch.auds[i], batch.au_exp[i])
+        d_xyz = preds["d_xyz"]
+        if personalized:
+            d_xyz = d_xyz + p["d_xyz"]
+        return xyz0 + d_xyz * p["p_scale"]
+
+    for i in range(min(n_frames, batch.num_frames)):
+        st = face_state.replace(
+            params=face_state.params.replace(xyz=deformed(i)))
+        save_gaussian_ply(os.path.join(out_dir, f"deformed_{i}.ply"), st)
+
+
 def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
                split: str = "val", audio_file: str = "",
                dilate: bool = False, personalized: bool = False,
                out_path: str | None = None, fps: int = 25,
-               max_frames: int | None = None):
+               max_frames: int | None = None, dump_plys: int = 0,
+               ply_dir: str = ""):
     """Render a full clip; returns (frames [T,H,W,3] uint8, fps achieved)."""
     records = load_frames(model_cfg.source_path, split,
                           model_cfg.audio_extractor, -1,
@@ -109,6 +141,11 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
     cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
 
     synth_full = make_synthesis_fn(cfg, model_cfg, dilate, personalized)
+
+    if dump_plys:
+        export_deformed_plys(cfg, model_cfg, fuse_bundle, batch,
+                             ply_dir or os.path.dirname(out_path or "."),
+                             n_frames=dump_plys, personalized=personalized)
 
     face_state: G.GaussianState = fuse_bundle["face_state"]
     mouth_state: G.GaussianState = fuse_bundle["mouth_state"]

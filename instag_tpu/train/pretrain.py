@@ -125,8 +125,18 @@ def make_warm_step(cfg, opt_cfg, spatial_lr_scale, mouth: bool):
     return block
 
 
+def tie_audio_params(pmf_params, umf_params):
+    """Substitute the UMF's AudioFeature subtree into a PMF param tree —
+    the reference's ``--share_audio_net`` module aliasing
+    (pretrain_face.py:79,124-126): PMF audio encoders ARE the UMF's, so
+    their gradients flow to (and updates come from) the UMF optimizer."""
+    return {"params": {**pmf_params["params"],
+                       "audio": umf_params["params"]["audio"]}}
+
+
 def make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net, spatial_lr_scale,
-                            num_ids: int, umf_tx, pmf_tx):
+                            num_ids: int, umf_tx, pmf_tx,
+                            share_audio_net: bool = False):
 
     def step(state, gopt, umf_params, umf_opt_state, pmf_stack, pmf_opt_stack,
              ema_params, cur_id, batch: FrameBatch, i, it,
@@ -147,6 +157,8 @@ def make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net, spatial_lr_scale,
         offset0 = jnp.zeros((state.capacity, 2))
 
         def loss_fn(gparams, umf_p, pmf_p, off):
+            if share_audio_net:
+                pmf_p = tie_audio_params(pmf_p, umf_p)
             st = state.replace(params=gparams)
             mr = render_motion(
                 cfg, cam, st,
@@ -183,6 +195,9 @@ def make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net, spatial_lr_scale,
                 xyz = jax.lax.stop_gradient(gparams.xyz)
 
                 def other_dxyz(p_other):
+                    if share_audio_net:
+                        p_other = tie_audio_params(
+                            p_other, jax.lax.stop_gradient(umf_p))
                     return pmf_net.apply(p_other, xyz, aud, exp)["d_xyz"]
 
                 all_dxyz = jax.vmap(other_dxyz)(pmf_others)  # [n, N, 3]
@@ -390,8 +405,14 @@ def _load_identity(model_cfg: ModelConfig, name: str, capacity: int,
 
 def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                   data_list: list[str], log_every: int = 500, seed: int = 0,
-                  warm_per_id: int = 1000, identity_block: int = 25):
-    """Multi-identity face UMF pre-training (pretrain_face.py)."""
+                  warm_per_id: int = 1000, identity_block: int = 25,
+                  share_audio_net: bool = False):
+    """Multi-identity face UMF pre-training (pretrain_face.py).
+
+    ``share_audio_net``: tie every PMF's audio encoders to the UMF's
+    (reference --share_audio_net, passed by the esperanto/hubert pretrain
+    scripts, scripts/pretrain_con_eo.sh:8 / _hu.sh:8).
+    """
     n = len(data_list)
     iterations = opt_cfg.iterations * n
     warm_step = warm_per_id * n
@@ -445,7 +466,8 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     batches = _pad_batches(batches)
     warm = make_warm_step(cfg, opt_cfg, extent, mouth=False)
     motion_block = make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net,
-                                           extent, n, umf_tx, pmf_tx)
+                                           extent, n, umf_tx, pmf_tx,
+                                           share_audio_net=share_audio_net)
 
     rng = np.random.default_rng(seed)
     stacks = [[] for _ in range(n)]
@@ -511,6 +533,15 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                   f"loss={np.mean(losses[-min(log_every, len(losses)):]):.4f} "
                   f"pts={[int(s_.num_alive()) for s_ in states]} "
                   f"t={time.time()-t0:.0f}s", flush=True)
+
+    if share_audio_net:
+        # bake the shared (UMF) audio params into the saved PMFs so
+        # downstream consumers see the tensors that were actually used
+        aud_tree = umf_params["params"]["audio"]
+        pmf_stack = {"params": {
+            **pmf_stack["params"],
+            "audio": jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (n,) + x.shape), aud_tree)}}
 
     return dict(umf_params=umf_params, ema_params=ema_params,
                 umf_opt_state=umf_opt_state,

@@ -60,7 +60,15 @@ class FaceValReporter:
                    + batch.bg_image(i) * (1 - mr.out.alpha))
             img = jnp.clip(img, 0.0, 1.0)
             gt = batch.gt_image(i)
-            return img, l1_loss(img, gt), psnr(img, gt)
+            # depth-normal panel (reference train_face.py:843-845: normals
+            # from the rendered depth, masked by alpha, mapped to [0,1])
+            from ..utils.normals import depth_to_normal
+            cam = batch.camera(i)
+            dn = depth_to_normal(cam.view_transform, cam.tanfovx,
+                                 cam.tanfovy, mr.out.depth)
+            dn = (dn.transpose(2, 0, 1) * jax.lax.stop_gradient(mr.out.alpha)
+                  ) * 0.5 + 0.5
+            return img, dn, l1_loss(img, gt), psnr(img, gt)
 
         self._render_one = render_one
 
@@ -69,12 +77,12 @@ class FaceValReporter:
         for name, (batch, ids) in self.sets.items():
             l1s, psnrs = [], []
             for j, i in enumerate(ids):
-                img, l1, ps = self._render_one(state, umf_params, pmf_params,
-                                               batch, i)
+                img, dn, l1, ps = self._render_one(state, umf_params,
+                                                   pmf_params, batch, i)
                 l1s.append(float(l1))
                 psnrs.append(float(ps))
                 if self.save_images and j == 0:
-                    self._save_panel(name, iteration, img, batch, i)
+                    self._save_panel(name, iteration, img, batch, i, dn)
             results[f"{name}_l1"] = float(np.mean(l1s))
             results[f"{name}_psnr"] = float(np.mean(psnrs))
             if self.logger:
@@ -87,12 +95,14 @@ class FaceValReporter:
                                iteration)
         return results
 
-    def _save_panel(self, name, iteration, img, batch, i):
+    def _save_panel(self, name, iteration, img, batch, i, depth_normal=None):
         try:
             from PIL import Image
-            panel = np.concatenate([
-                np.asarray(img).transpose(1, 2, 0),
-                np.asarray(batch.gt_image(i)).transpose(1, 2, 0)], axis=1)
+            cols = [np.asarray(img).transpose(1, 2, 0),
+                    np.asarray(batch.gt_image(i)).transpose(1, 2, 0)]
+            if depth_normal is not None:
+                cols.append(np.asarray(depth_normal).transpose(1, 2, 0))
+            panel = np.concatenate(cols, axis=1)
             panel = (np.clip(panel, 0, 1) * 255).astype(np.uint8)
             out_dir = os.path.join(self.log_dir, "val_renders")
             os.makedirs(out_dir, exist_ok=True)

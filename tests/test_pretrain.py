@@ -62,3 +62,42 @@ def test_pretrain_mouth_runs(pretrain_root, face_pretrain):
                          log_every=20, warm_per_id=4)
     assert np.isfinite(res["losses"]).all()
     assert len(res["states"]) == 2
+
+
+def test_share_audio_net(pretrain_root):
+    """--share_audio_net (reference pretrain_face.py:79,124-126): with the
+    flag on, the loss is invariant to the PMF's own audio params (they are
+    substituted by the UMF's) and the returned PMF stack carries the UMF's
+    audio tensors."""
+    import jax
+    import jax.numpy as jnp
+    from instag_tpu.train.pretrain import pretrain_face, tie_audio_params
+
+    mc = ModelConfig(source_path=pretrain_root, init_num=120, capacity=256,
+                     max_per_tile=48)
+    oc = OptimizationConfig(iterations=12, densify_from_iter=1000,
+                            densification_interval=1000,
+                            opacity_reset_interval=100000,
+                            position_lr_max_steps=24)
+    res = pretrain_face(mc, oc, ["id_a", "id_b"], log_every=50,
+                        warm_per_id=1, share_audio_net=True)
+    assert np.isfinite(res["losses"]).all()
+    # returned PMF stack audio == final UMF audio, broadcast per identity
+    umf_aud = res["umf_params"]["params"]["audio"]
+    pmf_aud = res["pmf_stack"]["params"]["audio"]
+    for a, b in zip(jax.tree.leaves(umf_aud), jax.tree.leaves(pmf_aud)):
+        assert b.shape == (2,) + a.shape
+        np.testing.assert_array_equal(np.asarray(b[0]), np.asarray(a))
+        np.testing.assert_array_equal(np.asarray(b[1]), np.asarray(a))
+
+    # tie helper: perturbing the PMF's own audio subtree cannot change the
+    # tied tree; perturbing the UMF's does
+    pmf_one = jax.tree.map(lambda x: x[0], res["pmf_stack"])
+    tied = tie_audio_params(pmf_one, res["umf_params"])
+    pmf_perturbed = {"params": {
+        **pmf_one["params"],
+        "audio": jax.tree.map(lambda x: x + 1.0,
+                              pmf_one["params"]["audio"])}}
+    tied2 = tie_audio_params(pmf_perturbed, res["umf_params"])
+    for a, b in zip(jax.tree.leaves(tied), jax.tree.leaves(tied2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

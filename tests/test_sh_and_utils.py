@@ -146,3 +146,29 @@ def test_l1():
     a = jnp.zeros((2, 2))
     b = jnp.ones((2, 2))
     assert float(l1_loss(a, b)) == 1.0
+
+
+def test_sh_recurrence_matches_hardcoded():
+    """Degrees 5-8 come from the Legendre recurrence; the same code path at
+    deg<=4 must reproduce the reference's hard-coded polynomials exactly."""
+    from instag_tpu.utils.sh import _sh_basis_recurrence, sh_basis
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(200, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    for deg in (1, 2, 3, 4):
+        got = np.asarray(_sh_basis_recurrence(deg, d))
+        want = np.asarray(sh_basis(deg, d))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_sh_degrees_5_to_8_orthonormal():
+    """Monte-Carlo orthonormality on the sphere: E[Y_i Y_j] = d_ij / 4pi."""
+    from instag_tpu.utils.sh import sh_basis
+    rng = np.random.default_rng(1)
+    d = rng.normal(size=(200000, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    basis = np.asarray(sh_basis(8, jnp.asarray(d.astype(np.float32))))
+    assert basis.shape == (200000, 81)
+    gram = 4 * np.pi * (basis.T @ basis) / basis.shape[0]
+    np.testing.assert_allclose(gram, np.eye(81), atol=0.12)
