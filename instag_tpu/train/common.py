@@ -71,11 +71,40 @@ def load_training_frames(model_cfg):
     return records
 
 
-def build_frame_batch(records: list[FrameRecord],
-                      with_priors: bool = False) -> FrameBatch:
+class HostFrameStore:
+    """Host-RAM frame store for long clips (SURVEY §5.7: the reference
+    preloads ~12 GB per 5 minutes of video; frames at 512² don't fit HBM).
+
+    Fields mirror FrameBatch but live as numpy arrays; ``gather(idxs)``
+    fancy-indexes a per-block sub-batch and uploads it asynchronously
+    (device_put returns immediately, so the host gather of block k+1
+    overlaps the device compute of block k — the trainers keep their losses
+    un-materialized inside the loop for exactly this reason).
+    """
+
+    def __init__(self, records: list[FrameRecord], with_priors: bool = False):
+        self.arrays = _stack_records(records, with_priors, as_numpy=True)
+
+    @property
+    def num_frames(self) -> int:
+        return self.arrays["image"].shape[0]
+
+    def gather(self, idxs) -> FrameBatch:
+        idxs = np.asarray(idxs)
+        return FrameBatch(**{
+            k: (jnp.asarray(v[idxs]) if v is not None else None)
+            for k, v in self.arrays.items()})
+
+    def to_device(self) -> FrameBatch:
+        return FrameBatch(**{k: (jnp.asarray(v) if v is not None else None)
+                             for k, v in self.arrays.items()})
+
+
+def _stack_records(records, with_priors: bool, as_numpy: bool = False):
     def stack(fn, dtype=None):
         arr = np.stack([fn(r) for r in records])
-        return jnp.asarray(arr if dtype is None else arr.astype(dtype))
+        arr = arr if dtype is None else arr.astype(dtype)
+        return arr if as_numpy else jnp.asarray(arr)
 
     kwargs = dict(
         view_transform=stack(lambda r: r.view_transform),
@@ -98,7 +127,15 @@ def build_frame_batch(records: list[FrameRecord],
     if with_priors and records[0].normal is not None:
         kwargs["normal"] = stack(lambda r: r.normal, np.float32)
         kwargs["depth"] = stack(lambda r: r.depth, np.float32)
-    return FrameBatch(**kwargs)
+    else:
+        kwargs["normal"] = None
+        kwargs["depth"] = None
+    return kwargs
+
+
+def build_frame_batch(records: list[FrameRecord],
+                      with_priors: bool = False) -> FrameBatch:
+    return FrameBatch(**_stack_records(records, with_priors, as_numpy=False))
 
 
 def rgb_loss(image: jnp.ndarray, gt: jnp.ndarray,

@@ -379,10 +379,14 @@ def _pad_batches(batches):
 
 
 def _load_identity(model_cfg: ModelConfig, name: str, capacity: int,
-                   mouth: bool, seed: int):
+                   mouth: bool, seed: int, stream: bool = False):
     src = os.path.join(model_cfg.source_path, name)
     records = load_frames(src, "train", model_cfg.audio_extractor, -1)
-    batch = build_frame_batch(records)
+    if stream:
+        from .common import HostFrameStore
+        batch = HostFrameStore(records)
+    else:
+        batch = build_frame_batch(records)
     _, extent = scene_extent(records)
     xyz, colors = random_init_points(model_cfg.init_num, seed)
     if mouth:
@@ -406,12 +410,19 @@ def _load_identity(model_cfg: ModelConfig, name: str, capacity: int,
 def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                   data_list: list[str], log_every: int = 500, seed: int = 0,
                   warm_per_id: int = 1000, identity_block: int = 25,
-                  share_audio_net: bool = False):
+                  share_audio_net: bool = False,
+                  stream: bool | None = None, stream_threshold: int = 1000):
     """Multi-identity face UMF pre-training (pretrain_face.py).
 
     ``share_audio_net``: tie every PMF's audio encoders to the UMF's
     (reference --share_audio_net, passed by the esperanto/hubert pretrain
     scripts, scripts/pretrain_con_eo.sh:8 / _hu.sh:8).
+
+    ``stream``: keep frames in host RAM and upload per-block sub-batches
+    (double-buffered: device_put of block k+1 overlaps compute of block k).
+    Default auto-engages when any identity exceeds ``stream_threshold``
+    frames — full-length pre-training videos (minutes at 25 fps) cannot
+    live in HBM (the reference's README "Memory Hints" preload story).
     """
     n = len(data_list)
     iterations = opt_cfg.iterations * n
@@ -421,7 +432,17 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     select_interval = 15
 
     capacity = model_cfg.resolve_capacity()
-    ids = [_load_identity(model_cfg, name, capacity, False, seed + k)
+    if stream is None:
+        import glob as _glob
+        stream = any(
+            len(_glob.glob(os.path.join(model_cfg.source_path, name,
+                                        "gt_imgs", "*.jpg"))) > stream_threshold
+            for name in data_list)
+    if stream:
+        print(f"[pretrain_face] streaming mode: frames stay in host RAM, "
+              f"per-block sub-batches upload on demand")
+    ids = [_load_identity(model_cfg, name, capacity, False, seed + k,
+                          stream=stream)
            for k, name in enumerate(data_list)]
     h, w = ids[0][0][0].height, ids[0][0][0].width
     cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
@@ -435,7 +456,8 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     pmf_net = PersonalizedMotionNetwork("face", model_cfg.audio_extractor)
     key = jax.random.key(seed)
     keys = jax.random.split(key, n + 2)
-    x0, a0, e0 = states[0].params.xyz[:8], batches[0].auds[0], batches[0].au_exp[0]
+    b0 = batches[0].gather([0]) if stream else batches[0]
+    x0, a0, e0 = states[0].params.xyz[:8], b0.auds[0], b0.au_exp[0]
     umf_params = umf_net.init(keys[0], x0, a0, e0)
     pmf_list = [pmf_net.init(keys[1 + k], x0, a0, e0) for k in range(n)]
     pmf_stack = _stack_pmfs(pmf_list)
@@ -463,7 +485,8 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                                  for _ in range(n)])
 
     extent = metas[0]["extent"]
-    batches = _pad_batches(batches)
+    if not stream:
+        batches = _pad_batches(batches)
     warm = make_warm_step(cfg, opt_cfg, extent, mouth=False)
     motion_block = make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net,
                                            extent, n, umf_tx, pmf_tx,
@@ -492,7 +515,13 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                                         select_iter, select_interval)
                 for s_ in steps]
         its_arr = jnp.asarray(steps, jnp.int32)
-        idxs_arr = jnp.asarray(idxs, jnp.int32)
+        if stream:
+            # upload only this block's frames; the device_put overlaps the
+            # still-running previous block (losses stay un-materialized)
+            batch = batch.gather(idxs)
+            idxs_arr = jnp.arange(len(steps), dtype=jnp.int32)
+        else:
+            idxs_arr = jnp.asarray(idxs, jnp.int32)
         if it < warm_step:
             state, gopt, block_losses = warm(state, gopt, batch, idxs_arr,
                                              its_arr)
@@ -508,7 +537,7 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 state, gopt, umf_params, umf_opt_state, pmf_stack,
                 pmf_opt_stack, ema_params, sid, batch, idxs_arr, its_arr,
                 flags)
-        losses.extend(np.asarray(block_losses).tolist())
+        losses.append(block_losses)        # device array; materialize lazily
         nsteps = len(steps)
         it = block_end + 1
         end = block_end
@@ -524,15 +553,21 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 meta["extent"],
                 20.0 if end > opt_cfg.opacity_reset_interval else None,
                 opt_cfg.percent_dense)
-            state, gopt = _prune_green(state, gopt,
-                                       batch.camera_center[idxs[-1]])
+            cam_center = (batch.camera_center[idxs_arr[-1]] if stream
+                          else batch.camera_center[idxs[-1]])
+            state, gopt = _prune_green(state, gopt, cam_center)
         states[sid], gopts[sid] = state, gopt
 
         if end % log_every < nsteps:
+            recent = np.concatenate(
+                [np.asarray(b) for b in losses[-max(1, log_every // nsteps):]])
             print(f"[pretrain_face {end}/{iterations}] "
-                  f"loss={np.mean(losses[-min(log_every, len(losses)):]):.4f} "
+                  f"loss={recent.mean():.4f} "
                   f"pts={[int(s_.num_alive()) for s_ in states]} "
                   f"t={time.time()-t0:.0f}s", flush=True)
+
+    losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
+        if losses else []
 
     if share_audio_net:
         # bake the shared (UMF) audio params into the saved PMFs so
