@@ -97,8 +97,28 @@ def make_parser(description: str) -> argparse.ArgumentParser:
     return parser
 
 
+def enable_persistent_compile_cache() -> None:
+    """Point JAX at a persistent compilation cache (INSTAG_JAX_CACHE or
+    ~/.cache/instag_tpu/jax_cache). The trainer CLIs run as separate
+    processes per pipeline stage; without this every stage re-pays minutes
+    of XLA/Mosaic compiles that the cache serves in seconds on any rerun."""
+    import jax
+    path = os.environ.get(
+        "INSTAG_JAX_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "instag_tpu",
+                     "jax_cache"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"[config] persistent compile cache unavailable: {e}")
+
+
 def parse_all(parser: argparse.ArgumentParser, argv=None):
     args = parser.parse_args(argv)
+    enable_persistent_compile_cache()
     return (extract_dataclass(args, ModelConfig),
             extract_dataclass(args, PipelineConfig),
             extract_dataclass(args, OptimizationConfig), args)

@@ -204,6 +204,130 @@ def make_idp_pretrain_step(cfg, opt_cfg, umf_net, pmf_net,
     return step
 
 
+def make_idp_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net, face_net,
+                                 spatial_lr_scale: float, num_ids: int,
+                                 mesh: Mesh, umf_tx, pmf_tx,
+                                 axis: str = "id"):
+    """Identity-parallel mouth-branch pre-training step.
+
+    Mirrors the serial loss exactly (train/pretrain.py
+    make_pretrain_mouth_step — mouth-masked green composite with the
+    (lips ⊻ mouth) band painted out, motion+PMF regs 1e-5, lips alpha mask
+    1e-3, one-other contrastive hinge; reference pretrain_mouth.py:219-276).
+    Per-identity face clouds ride the stack; the frozen face UMF is
+    replicated. ``other_ids`` [n] selects each identity's contrastive
+    partner (the serial path draws one at random per step).
+    """
+    from ..render import render_motion_mouth
+
+    id_sharding = NamedSharding(mesh, P(axis))
+
+    def per_identity_loss(state_tpl, gparams, umf_p, pmf_p, pmf_all, off,
+                          face_state, face_umf_p, batch: FrameBatch, i,
+                          other_id, flags: PretrainFlags):
+        cam = batch.camera(i)
+        gt = batch.gt_image(i)
+        aud = batch.auds[i]
+        mouth_m = batch.mouth_mask[i]
+        h, w = cfg.image_height, cfg.image_width
+        lips_m = rect_mask(h, w, batch.lips_rect[i])
+
+        st = state_tpl.replace(params=gparams)
+        mr = render_motion_mouth(
+            cfg, cam, st,
+            mouth_umf=lambda x, a, m: umf_net.apply(umf_p, x, a, m),
+            face_state=face_state,
+            face_umf=lambda x, a, e: face_net.apply(
+                jax.lax.stop_gradient(face_umf_p), x, a, e),
+            aud=aud, bg=GREEN,
+            pmf=lambda x, a: pmf_net.apply(pmf_p, x, a),
+            personalized=True, align=False, means2d_offset=off)
+        out = mr.out
+        gt_g = jnp.where(mouth_m[None], gt, GREEN[:, None, None])
+        band = lips_m ^ mouth_m
+        img = jnp.where(band[None], GREEN[:, None, None], out.image)
+
+        loss = _base_image_loss(img, gt_g, opt_cfg.lambda_dssim)
+        m, pm = mr.motion, mr.p_motion
+        loss += flags.use_regs * 1e-5 * (
+            jnp.abs(m["d_xyz"]).mean() + jnp.abs(m["d_rot"]).mean()
+            + jnp.abs(pm["d_xyz"]).mean() + jnp.abs(pm["d_rot"]).mean())
+        lm = lips_m[None].astype(jnp.float32)
+        loss += flags.use_regs * 1e-3 * (
+            ((1 - out.alpha) * lm).mean() + (out.alpha * (1 - lm)).mean())
+
+        if num_ids > 1:
+            xyz = jax.lax.stop_gradient(gparams.xyz)
+            p_other = jax.lax.stop_gradient(
+                jax.tree.map(lambda x: x[other_id], pmf_all))
+            other = pmf_net.apply(p_other, xyz, aud)["d_xyz"]
+            dots = jnp.maximum(jnp.sum(other * pm["d_xyz"], -1), 0.0)
+            loss += flags.use_regs * dots.mean()
+        return loss, out
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+    def step(states_stack, gopt_stack, umf_params, umf_opt_state, pmf_stack,
+             pmf_opt_stack, ema_params, face_states_stack, face_umf_params,
+             batch_stack: FrameBatch, frame_idx, other_ids, it,
+             flags: PretrainFlags):
+        states_stack = jax.lax.with_sharding_constraint(
+            states_stack, jax.tree.map(lambda _: id_sharding, states_stack))
+
+        cap = states_stack.params.xyz.shape[1]
+        offsets0 = jnp.zeros((num_ids, cap, 2))
+
+        def summed_loss(gparams_stack, umf_p, pmf_all, offs):
+            def one(state, gparams, pmf_p, off, face_state, batch, i, oid):
+                return per_identity_loss(state, gparams, umf_p, pmf_p,
+                                         pmf_all, off, face_state,
+                                         face_umf_params, batch, i, oid,
+                                         flags)
+            losses, outs = jax.vmap(one)(
+                states_stack, gparams_stack, pmf_all, offs,
+                face_states_stack, batch_stack, frame_idx, other_ids)
+            return jnp.mean(losses), (losses, outs)
+
+        (_, (losses, outs)), (g_gauss, g_umf, g_pmf, g_off) = (
+            jax.value_and_grad(summed_loss, argnums=(0, 1, 2, 3),
+                               has_aux=True)(
+                states_stack.params, umf_params, pmf_stack, offsets0))
+        g_gauss = jax.tree.map(lambda x: x * num_ids, g_gauss)
+        g_pmf = jax.tree.map(lambda x: x * num_ids, g_pmf)
+        g_off = g_off * num_ids
+
+        lrs = gaussian_lrs(opt_cfg, it, spatial_lr_scale)
+
+        def upd(params, grads, gopt, alive):
+            return G.adam_update(params, grads, gopt, lrs, alive)
+
+        new_params, gopt_stack = jax.vmap(upd)(
+            states_stack.params, g_gauss, gopt_stack, states_stack.alive)
+        states_stack = states_stack.replace(params=new_params)
+
+        u, umf_opt_state = umf_tx.update(g_umf, umf_opt_state, umf_params)
+        umf_params = jax.tree.map(lambda p, d: p + d, umf_params, u)
+        ema_params = ema_update(ema_params, umf_params, 0.995)
+
+        def pupd(g, o, p):
+            d, o2 = pmf_tx.update(g, o, p)
+            return jax.tree.map(lambda a, b: a + b, p, d), o2
+
+        pmf_stack, pmf_opt_stack = jax.vmap(pupd)(g_pmf, pmf_opt_stack,
+                                                  pmf_stack)
+
+        def dstats(state, goff, radii):
+            visible = radii > 0
+            state = G.add_densification_stats(state, goff, visible)
+            return G.update_max_radii(state, radii, visible)
+
+        states_stack = jax.vmap(dstats)(states_stack, g_off, outs.radii)
+
+        return (states_stack, gopt_stack, umf_params, umf_opt_state,
+                pmf_stack, pmf_opt_stack, ema_params, losses)
+
+    return step
+
+
 def make_idp_densify(opt_cfg, extent: float):
     """Vmapped clone/split/prune over the identity axis — the serial
     trainer's block-boundary densification under identity sharding."""

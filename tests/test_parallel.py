@@ -230,3 +230,76 @@ def test_identity_parallel_loss_matches_serial():
     idp_losses = np.asarray(out[-1])
     np.testing.assert_allclose(idp_losses, np.asarray(serial_losses),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_identity_parallel_mouth_loss_matches_serial():
+    """Mouth-branch identity-parallel step: per-identity loss equals the
+    serial pretrain_mouth step on identical inputs."""
+    from jax.sharding import Mesh
+    from instag_tpu.models.motion import (MotionNetwork, MouthMotionNetwork,
+                                          PersonalizedMotionNetwork)
+    from instag_tpu.parallel.identity_parallel import (
+        make_idp_pretrain_mouth_step, stack_identities)
+    from instag_tpu.train.optim import pmf_optimizer, umf_optimizer
+    from instag_tpu.train.pretrain import (PretrainFlags,
+                                           make_pretrain_mouth_step)
+
+    n_ids = 2
+    mesh = Mesh(np.array(jax.devices()[:n_ids]), ("id",))
+    (cfg, oc, _umf_face, _pmf_face, _tx, _opt, _ptx, states, gopts,
+     _pmfs, _popts, batches, _umfp) = _idp_fixture(n_ids)
+
+    mouth_net = MouthMotionNetwork("deepspeech")
+    mouth_pmf_net = PersonalizedMotionNetwork("mouth", "deepspeech")
+    face_net = MotionNetwork("deepspeech")
+
+    x0, a0 = states[0].params.xyz[:4], batches[0].auds[0]
+    e0 = batches[0].au_exp[0]
+    umf_params = mouth_net.init(jax.random.key(50), x0, a0,
+                                jnp.zeros((1, 3)))
+    face_umf = face_net.init(jax.random.key(51), x0, a0, e0)
+    pmfs = [mouth_pmf_net.init(jax.random.key(60 + k), x0, a0)
+            for k in range(n_ids)]
+    umf_tx, umf_opt = umf_optimizer(umf_params, total_iters=100, warm_step=0)
+    pmf_tx, popt1 = pmf_optimizer(pmfs[0])
+    pmf_opts = [jax.tree.map(jnp.array, popt1) for _ in range(n_ids)]
+    pmf_stack = stack_identities(pmfs)
+    pmf_opt_stack = stack_identities(pmf_opts)
+    ema = jax.tree.map(jnp.array, umf_params)
+    # per-identity face clouds (reuse the fixture states)
+    face_states = [jax.tree.map(jnp.array, s) for s in states]
+
+    serial_block = make_pretrain_mouth_step(cfg, oc, mouth_net, mouth_pmf_net,
+                                            face_net, 1.0, n_ids, umf_tx,
+                                            pmf_tx)
+    serial_losses = []
+    for k in range(n_ids):
+        sflags = PretrainFlags(use_regs=jnp.ones((1,), jnp.float32),
+                               hair_paint=jnp.zeros((1,), jnp.float32))
+        res = serial_block(
+            jax.tree.map(jnp.array, states[k]),
+            jax.tree.map(jnp.array, gopts[k]),
+            jax.tree.map(jnp.array, umf_params),
+            jax.tree.map(jnp.array, umf_opt),
+            jax.tree.map(jnp.array, pmf_stack),
+            jax.tree.map(jnp.array, pmf_opt_stack),
+            jax.tree.map(jnp.array, ema),
+            jnp.int32(k), jnp.int32((k + 1) % n_ids),
+            face_states[k], face_umf, batches[k],
+            jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32), sflags)
+        serial_losses.append(float(res[-1][0]))
+
+    step = make_idp_pretrain_mouth_step(cfg, oc, mouth_net, mouth_pmf_net,
+                                        face_net, 1.0, n_ids, mesh, umf_tx,
+                                        pmf_tx)
+    flags = PretrainFlags(use_regs=jnp.float32(1.0),
+                          hair_paint=jnp.float32(0.0))
+    out = step(stack_identities(states), stack_identities(gopts),
+               umf_params, umf_opt, pmf_stack, pmf_opt_stack, ema,
+               stack_identities(face_states), face_umf,
+               stack_identities(batches),
+               jnp.zeros(n_ids, jnp.int32),
+               (jnp.arange(n_ids, dtype=jnp.int32) + 1) % n_ids, 1, flags)
+    idp_losses = np.asarray(out[-1])
+    np.testing.assert_allclose(idp_losses, np.asarray(serial_losses),
+                               rtol=2e-4, atol=2e-5)
