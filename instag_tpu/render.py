@@ -205,15 +205,22 @@ def render_motion_mouth(cfg: RasterizeConfig, cam: Camera,
         face_preds = face_umf(face_state.params.xyz, aud, zero_exp)
 
     # move feature: k-th largest / k-th smallest y-motion and their range,
-    # masked to the face cloud's alive slots (:366-374).
+    # masked to the face cloud's alive slots (:366-374). k is clamped to the
+    # alive count: with a heavily-pruned face cloud the k-th element would
+    # otherwise read a -inf mask sentinel and poison the whole loss with NaN
+    # (torch.topk(k > n) would have errored in the reference — the padded
+    # state makes this reachable, so clamp instead).
     dy = face_preds["d_xyz"][:, 1]
     k_max = min(k_max, dy.shape[0])
+    n_alive = jnp.sum(face_state.alive)
     dy_max = jnp.where(face_state.alive, dy, -jnp.inf)
     dy_min = jnp.where(face_state.alive, dy, jnp.inf)
     top_max, _ = jax.lax.top_k(dy_max, k_max)
     top_min, _ = jax.lax.top_k(-dy_min, k_max)
-    kidx = jnp.clip(jnp.asarray(k) - 1, 0, k_max - 1)
+    kidx = jnp.clip(jnp.minimum(jnp.asarray(k), n_alive) - 1, 0, k_max - 1)
     m_hi, m_lo = top_max[kidx], -top_min[kidx]
+    m_hi = jnp.where(jnp.isfinite(m_hi), m_hi, 0.0)
+    m_lo = jnp.where(jnp.isfinite(m_lo), m_lo, 0.0)
     move = jnp.stack([m_hi, m_lo, m_hi - m_lo])[None, :] * 1e2
     move = jax.lax.stop_gradient(move)
 

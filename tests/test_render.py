@@ -81,3 +81,62 @@ def test_mouth_move_feature_semantics():
     np.testing.assert_allclose(move[0], want_hi, rtol=1e-4)
     np.testing.assert_allclose(move[1], want_lo, rtol=1e-4)
     np.testing.assert_allclose(move[2], want_hi - want_lo, rtol=1e-4)
+
+
+def test_mouth_move_feature_survives_tiny_face_cloud():
+    """A face cloud with fewer alive splats than k_max must not poison the
+    mouth branch with -inf/NaN through the top-k move feature (regression:
+    heavy green/depth pruning at 512px left <50 alive face points)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from instag_tpu.models import gaussians as G
+    from instag_tpu.ops.rasterize import RasterizeConfig
+    from instag_tpu.render import render_motion_mouth
+    from instag_tpu.models.motion import (MotionNetwork, MouthMotionNetwork,
+                                          PersonalizedMotionNetwork)
+
+    cfg = RasterizeConfig(32, 32, max_per_tile=32, tile_chunk=4)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-0.1, 0.1, (60, 3)).astype(np.float32))
+    cols = jnp.full((60, 3), 0.5)
+    face_state = G.create_from_points(pts, cols, 128, 1, 1.0)
+    # kill all but 7 face splats (< k_max=50, < any drawn k)
+    face_state = face_state.replace(alive=face_state.alive
+                                    & (jnp.arange(128) < 7))
+    mouth_state = G.create_from_points(pts * 0.5, cols, 128, 1, 1.0)
+
+    mouth_net = MouthMotionNetwork("deepspeech")
+    pmf_net = PersonalizedMotionNetwork("mouth", "deepspeech")
+    face_net = MotionNetwork("deepspeech")
+    aud = jnp.asarray(rng.normal(size=(8, 29, 16)).astype(np.float32))
+    x0 = pts[:4]
+    mouth_umf = mouth_net.init(jax.random.key(0), x0, aud, jnp.zeros((1, 3)))
+    pmf = pmf_net.init(jax.random.key(1), x0, aud)
+    face_umf = face_net.init(jax.random.key(2), x0, aud, jnp.zeros((6,)))
+
+    from tests.test_rasterize import make_camera
+    view, full, campos, tanfov = make_camera(32, 32)
+    from instag_tpu.render import Camera
+    cam = Camera(view, full, campos, jnp.float32(tanfov), jnp.float32(tanfov))
+
+    mr = jax.jit(lambda: render_motion_mouth(
+        cfg, cam, mouth_state,
+        mouth_umf=lambda x, a, m: mouth_net.apply(mouth_umf, x, a, m),
+        face_state=face_state,
+        face_umf=lambda x, a, e: face_net.apply(face_umf, x, a, e),
+        aud=aud, bg=jnp.zeros(3),
+        pmf=lambda x, a: pmf_net.apply(pmf, x, a),
+        personalized=True, align=False, k=jnp.int32(37)))()
+    assert np.isfinite(np.asarray(mr.out.image)).all()
+    # even a fully-dead face cloud stays finite (move features zero)
+    dead = face_state.replace(alive=jnp.zeros((128,), bool))
+    mr2 = jax.jit(lambda: render_motion_mouth(
+        cfg, cam, mouth_state,
+        mouth_umf=lambda x, a, m: mouth_net.apply(mouth_umf, x, a, m),
+        face_state=dead,
+        face_umf=lambda x, a, e: face_net.apply(face_umf, x, a, e),
+        aud=aud, bg=jnp.zeros(3),
+        pmf=lambda x, a: pmf_net.apply(pmf, x, a),
+        personalized=True, align=False, k=jnp.int32(10)))()
+    assert np.isfinite(np.asarray(mr2.out.image)).all()
