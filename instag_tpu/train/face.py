@@ -218,6 +218,24 @@ def make_face_block(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
     return block
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _tile_saturation_jit(cfg, state, view, full, campos, tanx, tany):
+    from ..ops.rasterize import selection_stats
+    return selection_stats(cfg, state.params.xyz, state.get_scaling(),
+                           state.get_rotation(), view, full, campos,
+                           tanx, tany, active=state.alive)["saturated_frac"]
+
+
+def _tile_saturation(cfg, state, batch, i) -> float:
+    """Fraction of tiles whose true hit count exceeds max_per_tile
+    (K-truncation diagnostic, logged every log_every; VERDICT r1 item 4)."""
+    cam = batch.camera(i)
+    return float(_tile_saturation_jit(cfg, state, cam.view_transform,
+                                      cam.full_proj_transform,
+                                      cam.camera_center, cam.tanfovx,
+                                      cam.tanfovy))
+
+
 @partial(jax.jit, static_argnums=(4,))
 def _prune_green_and_depth(state, opt, campos, it, prune_depth: bool):
     """Green-splat prune + z<-0.07 depth prune (train_face.py:719-778)."""
@@ -444,10 +462,12 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
         if end % log_every < n:
             dropped = int(state.dropped_children)
+            sat = _tile_saturation(cfg, state, batch, idxs[-1])
             print(f"[face {end}/{iterations}] loss="
                   f"{np.mean(losses[-min(log_every, len(losses)):]):.4f} "
                   f"pts={int(state.num_alive())} "
                   + (f"capacity_dropped={dropped} " if dropped else "")
+                  + (f"tile_sat={sat*100:.1f}% " if sat > 0 else "")
                   + f"t={time.time()-t0:.0f}s", flush=True)
         if eval_fn is not None and end % log_every < n:
             eval_fn(end, state, umf_params, pmf_params)
