@@ -299,11 +299,18 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                log_every: int = 500, eval_fn=None, warm_step: int = 3000,
                seed: int = 0, lpips_enabled: bool = True,
                log_dir: str | None = None, test_every: int = 0,
-               resume_bundle: dict | None = None):
-    from .common import load_training_frames
+               resume_bundle: dict | None = None,
+               stream: bool | None = None, stream_threshold: int = 1000):
+    from .common import HostFrameStore, load_training_frames
     records = load_training_frames(model_cfg)
     has_priors = all(r.normal is not None for r in records)
-    batch = build_frame_batch(records, with_priors=has_priors)
+    if stream is None:
+        stream = len(records) > stream_threshold  # --long full-video clips
+    if stream:
+        print("[train_face] streaming mode: frames stay in host RAM")
+        batch = HostFrameStore(records, with_priors=has_priors)
+    else:
+        batch = build_frame_batch(records, with_priors=has_priors)
     _, extent = scene_extent(records)
     h, w = records[0].height, records[0].width
     cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
@@ -323,9 +330,10 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     pmf_net = PersonalizedMotionNetwork("face", model_cfg.audio_extractor)
     key = jax.random.key(seed)
     k1, k2, key = jax.random.split(key, 3)
+    b0 = batch.gather([0]) if stream else batch
     x0 = state.params.xyz[:8]
-    a0 = batch.auds[0]
-    e0 = batch.au_exp[0]
+    a0 = b0.auds[0]
+    e0 = b0.au_exp[0]
     umf_params = umf_net.init(k1, x0, a0, e0)
     if pretrain_bundle is not None:
         umf_params = jax.tree.map(jnp.asarray, pretrain_bundle["umf_params"])
@@ -361,8 +369,10 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             val_batch = build_frame_batch(val_records)
         except Exception:
             val_batch = None
-        reporter = FaceValReporter(cfg, umf_net, pmf_net, val_batch, batch,
-                                   log_dir)
+        rep_train = (batch.gather(range(min(32, batch.num_frames)))
+                     if stream else batch)
+        reporter = FaceValReporter(cfg, umf_net, pmf_net, val_batch,
+                                   rep_train, log_dir)
         test_every = test_every or max(iterations // 5, 1)
 
     patch_sizes = tuple(s for s in (64, 80, 96) if s <= min(h, w)) \
@@ -429,12 +439,18 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
         flags = Flags(**{k: jnp.asarray(v, jnp.float32)
                          for k, v in flags_cols.items()})
+        if stream:
+            blk_batch = batch.gather(idxs)
+            idx_arr = jnp.arange(len(idxs), dtype=jnp.int32)
+        else:
+            blk_batch = batch
+            idx_arr = jnp.asarray(idxs, jnp.int32)
         use_lpips_block = (lpips_block is not None and it > lpips_start)
         run = lpips_block if use_lpips_block else base_block
         (state, gopt, umf_params, umf_opt_state, pmf_params, pmf_opt_state,
          block_losses) = run(state, gopt, umf_params, umf_opt_state,
-                             pmf_params, pmf_opt_state, batch,
-                             jnp.asarray(idxs, jnp.int32),
+                             pmf_params, pmf_opt_state, blk_batch,
+                             idx_arr,
                              jnp.asarray(its_arr, jnp.int32), flags,
                              jnp.asarray(patch_arr, jnp.int32))
         losses.extend(np.asarray(block_losses).tolist())
@@ -458,11 +474,12 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             state, gopt = G.reset_opacity(state, gopt)
         if end > opt_cfg.densify_from_iter and end % interval == 0:
             state, gopt = _prune_green_and_depth(
-                state, gopt, batch.camera_center[idxs[-1]], end, not long)
+                state, gopt, blk_batch.camera_center[int(idx_arr[-1])], end,
+                not long)
 
         if end % log_every < n:
             dropped = int(state.dropped_children)
-            sat = _tile_saturation(cfg, state, batch, idxs[-1])
+            sat = _tile_saturation(cfg, state, blk_batch, int(idx_arr[-1]))
             print(f"[face {end}/{iterations}] loss="
                   f"{np.mean(losses[-min(log_every, len(losses)):]):.4f} "
                   f"pts={int(state.num_alive())} "

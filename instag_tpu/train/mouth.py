@@ -188,10 +188,17 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 face_bundle: dict, pretrain_bundle: dict | None = None,
                 long: bool = False, log_every: int = 500,
                 warm_step: int = 3000, seed: int = 0,
-                resume_bundle: dict | None = None):
-    from .common import load_training_frames
+                resume_bundle: dict | None = None,
+                stream: bool | None = None, stream_threshold: int = 1000):
+    from .common import HostFrameStore, load_training_frames
     records = load_training_frames(model_cfg)
-    batch = build_frame_batch(records)
+    if stream is None:
+        stream = len(records) > stream_threshold  # --long full-video clips
+    if stream:
+        print("[train_mouth] streaming mode: frames stay in host RAM")
+        batch = HostFrameStore(records)
+    else:
+        batch = build_frame_batch(records)
     _, extent = scene_extent(records)
     h, w = records[0].height, records[0].width
     cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
@@ -213,7 +220,8 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     key = jax.random.key(seed)
     k1, k2, key = jax.random.split(key, 3)
-    x0, a0 = state.params.xyz[:8], batch.auds[0]
+    b0 = batch.gather([0]) if stream else batch
+    x0, a0 = state.params.xyz[:8], b0.auds[0]
     mv0 = jnp.zeros((1, 3))
     umf_params = mouth_net.init(k1, x0, a0, mv0)
     if pretrain_bundle is not None:
@@ -269,11 +277,17 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             ur.append(float(step_i > warm_step))
         flags = MouthFlags(align=jnp.asarray(al, jnp.float32),
                            use_regs=jnp.asarray(ur, jnp.float32))
+        if stream:
+            blk_batch = batch.gather(idxs)
+            idx_arr = jnp.arange(len(idxs), dtype=jnp.int32)
+        else:
+            blk_batch = batch
+            idx_arr = jnp.asarray(idxs, jnp.int32)
         (state, gopt, umf_params, umf_opt_state, pmf_params, pmf_opt_state,
          block_losses) = block(
             state, gopt, umf_params, umf_opt_state, pmf_params,
-            pmf_opt_state, face_state, face_umf_params, batch,
-            jnp.asarray(idxs, jnp.int32), jnp.asarray(its_arr, jnp.int32),
+            pmf_opt_state, face_state, face_umf_params, blk_batch,
+            idx_arr, jnp.asarray(its_arr, jnp.int32),
             jnp.asarray(ks, jnp.int32), flags)
         losses.extend(np.asarray(block_losses).tolist())
         n = block_end - it + 1
@@ -291,7 +305,8 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 extent, 20.0 if end > opt_cfg.opacity_reset_interval else None,
                 opt_cfg.percent_dense)
             if end > 2000:
-                state = _soften_green(state, batch.camera_center[idxs[-1]])
+                state = _soften_green(
+                    state, blk_batch.camera_center[int(idx_arr[-1])])
         if (not long) and end % opt_cfg.opacity_reset_interval == 0 \
                 and end < densify_until:
             state, gopt = G.reset_opacity(state, gopt)
