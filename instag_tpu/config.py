@@ -110,7 +110,10 @@ def enable_persistent_compile_cache() -> None:
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # cache EVERYTHING: on a network-tunneled chip even a trivial eager
+        # op costs ~0.4 s of compile RPC, and a trainer start dispatches
+        # hundreds of them (measured: 384 tiny compiles ≈ 170 s/stage)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception as e:  # cache is an optimization, never fatal
         print(f"[config] persistent compile cache unavailable: {e}")
