@@ -23,6 +23,9 @@ def main(argv=None):
     parser.add_argument("--share_audio_net", action="store_true",
                         help="tie PMF audio encoders to the UMF's "
                              "(reference pretrain_face.py:79)")
+    parser.add_argument("--identity_parallel", action="store_true",
+                        help="train all identities simultaneously over an "
+                             "'id' device mesh (one device per identity)")
     mc, _, oc, args = parse_all(parser, argv)
     mc.type = "face"
 
@@ -34,7 +37,8 @@ def main(argv=None):
             if os.path.isdir(os.path.join(mc.source_path, d)))
 
     res = pretrain_face(mc, oc, data_list, seed=args.seed,
-                        share_audio_net=args.share_audio_net)
+                        share_audio_net=args.share_audio_net,
+                        identity_parallel=args.identity_parallel)
 
     save_cfg(mc.model_path, mc)
     save_bundle(os.path.join(mc.model_path, "chkpnt_face_latest.pkl"),

@@ -51,7 +51,8 @@ def stack_identities(trees):
 
 def make_idp_pretrain_step(cfg, opt_cfg, umf_net, pmf_net,
                            spatial_lr_scale: float, num_ids: int, mesh: Mesh,
-                           umf_tx, pmf_tx, axis: str = "id"):
+                           umf_tx, pmf_tx, axis: str = "id",
+                           share_audio_net: bool = False):
     """Build the identity-parallel pre-training step (face branch).
 
     Args (to the returned step):
@@ -78,6 +79,9 @@ def make_idp_pretrain_step(cfg, opt_cfg, umf_net, pmf_net,
         h, w = cfg.image_height, cfg.image_width
         lips_m = rect_mask(h, w, batch.lips_rect[i]).astype(jnp.float32)
 
+        if share_audio_net:
+            from ..train.pretrain import tie_audio_params
+            pmf_p = tie_audio_params(pmf_p, umf_p)
         st = state_tpl.replace(params=gparams)
         mr = render_motion(
             cfg, cam, st,
@@ -113,6 +117,10 @@ def make_idp_pretrain_step(cfg, opt_cfg, umf_net, pmf_net,
             xyz = jax.lax.stop_gradient(gparams.xyz)
 
             def other_dxyz(p_other):
+                if share_audio_net:
+                    from ..train.pretrain import tie_audio_params
+                    p_other = tie_audio_params(
+                        p_other, jax.lax.stop_gradient(umf_p))
                 return pmf_net.apply(p_other, xyz, aud, exp)["d_xyz"]
 
             all_dxyz = jax.vmap(other_dxyz)(
@@ -135,10 +143,10 @@ def make_idp_pretrain_step(cfg, opt_cfg, umf_net, pmf_net,
         loss += flags.use_regs * (1 - hp) * 1e-4 * attn_hair
         return loss, out
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
-    def step(states_stack, gopt_stack, umf_params, umf_opt_state, pmf_stack,
-             pmf_opt_stack, ema_params, batch_stack: FrameBatch, frame_idx,
-             it, flags: PretrainFlags):
+    def step_body(states_stack, gopt_stack, umf_params, umf_opt_state,
+                  pmf_stack, pmf_opt_stack, ema_params,
+                  batch_stack: FrameBatch, frame_idx, it,
+                  flags: PretrainFlags):
         states_stack = jax.lax.with_sharding_constraint(
             states_stack, jax.tree.map(lambda _: id_sharding, states_stack))
 
@@ -201,7 +209,28 @@ def make_idp_pretrain_step(cfg, opt_cfg, umf_net, pmf_net,
         return (states_stack, gopt_stack, umf_params, umf_opt_state,
                 pmf_stack, pmf_opt_stack, ema_params, losses)
 
-    return step
+    step = jax.jit(step_body, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+    def block(states_stack, gopt_stack, umf_params, umf_opt_state, pmf_stack,
+              pmf_opt_stack, ema_params, batch_stack: FrameBatch,
+              frame_idx_blk, its_blk, flags_blk: PretrainFlags):
+        """Scan ``B`` identity-parallel steps as one device program.
+
+        frame_idx_blk [B, n]; its_blk [B]; flags fields [B]."""
+        def one(carry, xs):
+            fi, it, flags = xs
+            out = step_body(*carry, batch_stack, fi, it, flags)
+            return out[:-1], out[-1]
+
+        carry, losses = jax.lax.scan(
+            one,
+            (states_stack, gopt_stack, umf_params, umf_opt_state, pmf_stack,
+             pmf_opt_stack, ema_params),
+            (frame_idx_blk, its_blk, flags_blk))
+        return carry + (losses,)
+
+    return step, block
 
 
 def make_idp_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net, face_net,

@@ -411,7 +411,8 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                   data_list: list[str], log_every: int = 500, seed: int = 0,
                   warm_per_id: int = 1000, identity_block: int = 25,
                   share_audio_net: bool = False,
-                  stream: bool | None = None, stream_threshold: int = 1000):
+                  stream: bool | None = None, stream_threshold: int = 1000,
+                  identity_parallel: bool = False):
     """Multi-identity face UMF pre-training (pretrain_face.py).
 
     ``share_audio_net``: tie every PMF's audio encoders to the UMF's
@@ -423,6 +424,14 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     Default auto-engages when any identity exceeds ``stream_threshold``
     frames — full-length pre-training videos (minutes at 25 fps) cannot
     live in HBM (the reference's README "Memory Hints" preload story).
+
+    ``identity_parallel``: train every identity simultaneously over an
+    ``id`` device mesh (parallel/identity_parallel.py) — one device per
+    identity, replicated UMF with all-reduced gradients. Each of the
+    ``opt_cfg.iterations`` steps updates all n identities at once (the
+    serial path's n iterations with a synchronized UMF update); warm-up
+    runs serially per identity first. Requires len(jax.devices()) >= n
+    and is exclusive with ``stream``.
     """
     n = len(data_list)
     iterations = opt_cfg.iterations * n
@@ -488,6 +497,15 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     if not stream:
         batches = _pad_batches(batches)
     warm = make_warm_step(cfg, opt_cfg, extent, mouth=False)
+
+    if identity_parallel:
+        assert not stream, "identity_parallel is exclusive with streaming"
+        return _pretrain_face_idp(
+            cfg, opt_cfg, umf_net, pmf_net, umf_tx, pmf_tx, umf_opt_state,
+            umf_params, ema_params, pmf_stack, pmf_opt_stack, states, gopts,
+            batches, metas, data_list, extent, n, warm, warm_per_id,
+            log_every, seed, share_audio_net)
+
     motion_block = make_pretrain_face_step(cfg, opt_cfg, umf_net, pmf_net,
                                            extent, n, umf_tx, pmf_tx,
                                            share_audio_net=share_audio_net)
@@ -582,6 +600,130 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 umf_opt_state=umf_opt_state,
                 pmf_stack=pmf_stack, states=states, gopts=gopts,
                 data_list=data_list, losses=losses, cfg=cfg)
+
+
+def _pretrain_face_idp(cfg, opt_cfg, umf_net, pmf_net, umf_tx, pmf_tx,
+                       umf_opt_state, umf_params, ema_params, pmf_stack,
+                       pmf_opt_stack, states, gopts, batches, metas,
+                       data_list, extent, n, warm, warm_per_id, log_every,
+                       seed, share_audio_net):
+    """Identity-parallel motion phase of pretrain_face (one device per
+    identity; parallel/identity_parallel.py). Warm-up runs serially per
+    identity first (the reference's static-render phase), then every step
+    trains all n identities at once with the UMF gradient all-reduced.
+
+    Per-identity iteration count equals the serial path's; the UMF sees
+    ``opt_cfg.iterations`` large-batch updates instead of ``iterations*n``
+    single-identity updates (documented large-batch deviation)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..parallel.identity_parallel import (make_idp_densify,
+                                              make_idp_pretrain_step,
+                                              stack_identities)
+
+    devs = jax.devices()
+    assert len(devs) >= n, (
+        f"identity_parallel needs >= {n} devices, have {len(devs)}")
+    mesh = Mesh(np.array(devs[:n]), ("id",))
+
+    iterations = opt_cfg.iterations            # per identity
+    densify_until = iterations - 1000
+    select_iter = max(iterations - 10000, 1)
+    interval = opt_cfg.densification_interval
+    rng = np.random.default_rng(seed)
+    stacks = [[] for _ in range(n)]
+    key = jax.random.key(seed + 7)
+    t0 = time.time()
+
+    # ---- serial warm-up per identity (static renders) ----
+    for sid in range(n):
+        it = 1
+        while it <= warm_per_id:
+            end = min(warm_per_id, it + 99)
+            idxs = [_sample_face_curriculum(
+                rng, metas[sid], stacks[sid], s_, warm_per_id + 1,
+                select_iter, 15) for s_ in range(it, end + 1)]
+            states[sid], gopts[sid], _ = warm(
+                states[sid], gopts[sid], batches[sid],
+                jnp.asarray(idxs, jnp.int32),
+                jnp.asarray(range(it, end + 1), jnp.int32))
+            it = end + 1
+
+    # ---- stack + shard ----
+    id_sh = NamedSharding(mesh, P("id"))
+    rep = NamedSharding(mesh, P())
+    put = lambda t, s: jax.tree.map(lambda x: jax.device_put(x, s), t)
+    states_stack = put(stack_identities(states), id_sh)
+    gopt_stack = put(stack_identities(gopts), id_sh)
+    batch_stack = put(stack_identities(batches), id_sh)
+    pmf_stack = put(pmf_stack, id_sh)
+    pmf_opt_stack = put(pmf_opt_stack, id_sh)
+    umf_params = put(umf_params, rep)
+    umf_opt_state = put(umf_opt_state, rep)
+    ema_params = put(ema_params, rep)
+
+    _, blk = make_idp_pretrain_step(cfg, opt_cfg, umf_net, pmf_net, extent,
+                                    n, mesh, umf_tx, pmf_tx,
+                                    share_audio_net=share_audio_net)
+    densify = make_idp_densify(opt_cfg, extent)
+
+    losses = []
+    it = 1
+    while it <= iterations:
+        block_end = min(iterations, ((it - 1) // interval + 1) * interval,
+                        ((it - 1) // 1000 + 1) * 1000)
+        steps = list(range(it, block_end + 1))
+        fidx = np.asarray(
+            [[_sample_face_curriculum(rng, metas[i], stacks[i],
+                                      warm_per_id + s_, warm_per_id,
+                                      select_iter, 15) for i in range(n)]
+             for s_ in steps], np.int32)
+        flags = PretrainFlags(
+            use_regs=jnp.ones((len(steps),), jnp.float32),
+            hair_paint=jnp.asarray([float(s_ % 7 != 0) for s_ in steps],
+                                   jnp.float32))
+        (states_stack, gopt_stack, umf_params, umf_opt_state, pmf_stack,
+         pmf_opt_stack, ema_params, blk_losses) = blk(
+            states_stack, gopt_stack, umf_params, umf_opt_state, pmf_stack,
+            pmf_opt_stack, ema_params, batch_stack,
+            jnp.asarray(fidx), jnp.asarray(steps, jnp.int32), flags)
+        losses.append(blk_losses)                  # [B, n] device array
+        it = block_end + 1
+        end = block_end
+
+        if end % 1000 == 0:
+            states_stack = jax.vmap(G.one_up_sh_degree)(states_stack)
+        if end < densify_until and end > opt_cfg.densify_from_iter \
+                and end % interval == 0:
+            key, sub = jax.random.split(key)
+            floor = 0.05 + 0.25 * end / densify_until
+            states_stack, gopt_stack = densify(states_stack, gopt_stack,
+                                               sub, floor)
+        if end % log_every < len(steps):
+            recent = np.asarray(losses[-1])
+            print(f"[pretrain_face idp {end}/{iterations}] "
+                  f"loss={recent.mean():.4f} "
+                  f"pts={np.asarray(jax.vmap(lambda s: s.num_alive())(states_stack)).tolist()} "
+                  f"t={time.time()-t0:.0f}s", flush=True)
+
+    loss_flat = np.concatenate([np.asarray(b).mean(-1) for b in losses]) \
+        if losses else np.zeros((0,))
+    states = [jax.tree.map(lambda x, k=k: x[k], states_stack)
+              for k in range(n)]
+    gopts = [jax.tree.map(lambda x, k=k: x[k], gopt_stack)
+             for k in range(n)]
+
+    if share_audio_net:
+        aud_tree = umf_params["params"]["audio"]
+        pmf_stack = {"params": {
+            **pmf_stack["params"],
+            "audio": jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (n,) + x.shape), aud_tree)}}
+
+    return dict(umf_params=umf_params, ema_params=ema_params,
+                umf_opt_state=umf_opt_state, pmf_stack=pmf_stack,
+                states=states, gopts=gopts, data_list=data_list,
+                losses=loss_flat.tolist(), cfg=cfg)
 
 
 def _sample_face_curriculum(rng, meta, stack, it, warm_step, select_iter,

@@ -134,8 +134,8 @@ def test_identity_parallel_pretrain_step():
     (cfg, oc, umf_net, pmf_net, umf_tx, umf_opt, pmf_tx, states, gopts,
      pmfs, pmf_opts, batches, umf_params) = _idp_fixture(n_ids)
 
-    step = make_idp_pretrain_step(cfg, oc, umf_net, pmf_net, 1.0, n_ids,
-                                  mesh, umf_tx, pmf_tx)
+    step, _blk = make_idp_pretrain_step(cfg, oc, umf_net, pmf_net, 1.0,
+                                        n_ids, mesh, umf_tx, pmf_tx)
 
     id_sh = NamedSharding(mesh, P("id"))
     rep = NamedSharding(mesh, P())
@@ -221,8 +221,8 @@ def test_identity_parallel_loss_matches_serial():
         serial_losses.append(float(res[-1][0]))
 
     # identity-parallel: all at once
-    step = make_idp_pretrain_step(cfg, oc, umf_net, pmf_net, 1.0, n_ids,
-                                  mesh, umf_tx, pmf_tx)
+    step, _blk = make_idp_pretrain_step(cfg, oc, umf_net, pmf_net, 1.0,
+                                        n_ids, mesh, umf_tx, pmf_tx)
     out = step(stack_identities(states), stack_identities(gopts),
                umf_params, umf_opt, pmf_stack, pmf_opt_stack, ema_params,
                stack_identities(batches),

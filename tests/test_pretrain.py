@@ -121,3 +121,28 @@ def test_streaming_matches_preloaded(pretrain_root):
     np.testing.assert_allclose(np.asarray(res_str["losses"]),
                                np.asarray(res_pre["losses"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pretrain_face_identity_parallel(pretrain_root):
+    """pretrain_face(identity_parallel=True): the idp path runs end-to-end
+    on the virtual device mesh (warmup, stacked motion phase, densify,
+    unstacked return contract)."""
+    from instag_tpu.train.pretrain import pretrain_face
+
+    mc = ModelConfig(source_path=pretrain_root, init_num=100, capacity=256,
+                     max_per_tile=48)
+    oc = OptimizationConfig(iterations=8, densify_from_iter=2,
+                            densification_interval=4,
+                            opacity_reset_interval=100000,
+                            position_lr_max_steps=16)
+    res = pretrain_face(mc, oc, ["id_a", "id_b"], log_every=4,
+                        warm_per_id=2, identity_parallel=True,
+                        share_audio_net=True)
+    assert np.isfinite(res["losses"]).all()
+    assert len(res["losses"]) == 8          # per-identity iterations
+    assert len(res["states"]) == 2
+    import jax
+    leaf = jax.tree.leaves(res["pmf_stack"])[0]
+    assert leaf.shape[0] == 2
+    for st in res["states"]:
+        assert int(np.asarray(st.num_alive())) > 0
