@@ -15,6 +15,7 @@ def main(argv=None):
     parser = make_parser("Multi-identity mouth pre-training")
     parser.add_argument("--data_list", type=str, default="")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--identity_parallel", action="store_true")
     mc, _, oc, args = parse_all(parser, argv)
     mc.type = "mouth"
 
@@ -29,7 +30,8 @@ def main(argv=None):
     face_result = dict(states=face_states,
                        ema_params=face_ema["umf_params"])
 
-    res = pretrain_mouth(mc, oc, data_list, face_result, seed=args.seed)
+    res = pretrain_mouth(mc, oc, data_list, face_result, seed=args.seed,
+                         identity_parallel=args.identity_parallel)
 
     save_bundle(os.path.join(mc.model_path, "chkpnt_mouth_latest.pkl"),
                 dict(umf_params=res["umf_params"], data_list=data_list))

@@ -294,11 +294,10 @@ def make_idp_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net, face_net,
             loss += flags.use_regs * dots.mean()
         return loss, out
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
-    def step(states_stack, gopt_stack, umf_params, umf_opt_state, pmf_stack,
-             pmf_opt_stack, ema_params, face_states_stack, face_umf_params,
-             batch_stack: FrameBatch, frame_idx, other_ids, it,
-             flags: PretrainFlags):
+    def step_body(states_stack, gopt_stack, umf_params, umf_opt_state,
+                  pmf_stack, pmf_opt_stack, ema_params, face_states_stack,
+                  face_umf_params, batch_stack: FrameBatch, frame_idx,
+                  other_ids, it, flags: PretrainFlags):
         states_stack = jax.lax.with_sharding_constraint(
             states_stack, jax.tree.map(lambda _: id_sharding, states_stack))
 
@@ -354,7 +353,27 @@ def make_idp_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net, face_net,
         return (states_stack, gopt_stack, umf_params, umf_opt_state,
                 pmf_stack, pmf_opt_stack, ema_params, losses)
 
-    return step
+    step = jax.jit(step_body, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5, 6))
+    def block(states_stack, gopt_stack, umf_params, umf_opt_state, pmf_stack,
+              pmf_opt_stack, ema_params, face_states_stack, face_umf_params,
+              batch_stack: FrameBatch, frame_idx_blk, other_ids_blk, its_blk,
+              flags_blk: PretrainFlags):
+        def one(carry, xs):
+            fi, oi, it, flags = xs
+            out = step_body(*carry, face_states_stack, face_umf_params,
+                            batch_stack, fi, oi, it, flags)
+            return out[:-1], out[-1]
+
+        carry, losses = jax.lax.scan(
+            one,
+            (states_stack, gopt_stack, umf_params, umf_opt_state, pmf_stack,
+             pmf_opt_stack, ema_params),
+            (frame_idx_blk, other_ids_blk, its_blk, flags_blk))
+        return carry + (losses,)
+
+    return step, block
 
 
 def make_idp_densify(opt_cfg, extent: float):

@@ -726,6 +726,126 @@ def _pretrain_face_idp(cfg, opt_cfg, umf_net, pmf_net, umf_tx, pmf_tx,
                 losses=loss_flat.tolist(), cfg=cfg)
 
 
+def _pretrain_mouth_idp(cfg, opt_cfg, umf_net, pmf_net, face_net, umf_tx,
+                        pmf_tx, umf_opt_state, umf_params, ema_params,
+                        pmf_stack, pmf_opt_stack, states, gopts, batches,
+                        metas, data_list, extent, n, face_states,
+                        face_umf_params, warm, warm_per_id, log_every, seed):
+    """Identity-parallel motion phase of pretrain_mouth (mirrors
+    _pretrain_face_idp; per-identity face clouds stacked, frozen EMA face
+    UMF replicated, contrastive partner rotated per step)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ..parallel.identity_parallel import (make_idp_densify,
+                                              make_idp_pretrain_mouth_step,
+                                              stack_identities)
+    from .mouth import sample_mouth_curriculum, _soften_green
+
+    devs = jax.devices()
+    assert len(devs) >= n, (
+        f"identity_parallel needs >= {n} devices, have {len(devs)}")
+    mesh = Mesh(np.array(devs[:n]), ("id",))
+
+    iterations = opt_cfg.iterations
+    densify_until = iterations - 1000
+    select_iter = max(iterations - 10000, 1)
+    interval = opt_cfg.densification_interval
+    rng = np.random.default_rng(seed)
+    stacks = [[] for _ in range(n)]
+    key = jax.random.key(seed + 13)
+    t0 = time.time()
+
+    for sid in range(n):
+        it = 1
+        while it <= warm_per_id:
+            end = min(warm_per_id, it + 99)
+            idxs = [sample_mouth_curriculum(
+                rng, metas[sid]["au25"], metas[sid]["au25_pcts"],
+                metas[sid]["mouth_px"], stacks[sid], s_, warm_per_id + 1,
+                select_iter, 7) for s_ in range(it, end + 1)]
+            states[sid], gopts[sid], _ = warm(
+                states[sid], gopts[sid], batches[sid],
+                jnp.asarray(idxs, jnp.int32),
+                jnp.asarray(range(it, end + 1), jnp.int32))
+            it = end + 1
+
+    id_sh = NamedSharding(mesh, P("id"))
+    rep = NamedSharding(mesh, P())
+    put = lambda t, s: jax.tree.map(lambda x: jax.device_put(x, s), t)
+    states_stack = put(stack_identities(states), id_sh)
+    gopt_stack = put(stack_identities(gopts), id_sh)
+    batch_stack = put(stack_identities(batches), id_sh)
+    face_states_stack = put(stack_identities(face_states), id_sh)
+    pmf_stack = put(pmf_stack, id_sh)
+    pmf_opt_stack = put(pmf_opt_stack, id_sh)
+    umf_params = put(umf_params, rep)
+    umf_opt_state = put(umf_opt_state, rep)
+    ema_params = put(ema_params, rep)
+    face_umf_params = put(face_umf_params, rep)
+
+    _, blk = make_idp_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net,
+                                          face_net, extent, n, mesh,
+                                          umf_tx, pmf_tx)
+    densify = make_idp_densify(opt_cfg, extent)
+
+    losses = []
+    it = 1
+    while it <= iterations:
+        block_end = min(iterations, ((it - 1) // interval + 1) * interval,
+                        ((it - 1) // 1000 + 1) * 1000)
+        steps = list(range(it, block_end + 1))
+        fidx = np.asarray(
+            [[sample_mouth_curriculum(
+                rng, metas[i]["au25"], metas[i]["au25_pcts"],
+                metas[i]["mouth_px"], stacks[i], warm_per_id + s_,
+                warm_per_id, select_iter, 7) for i in range(n)]
+             for s_ in steps], np.int32)
+        others = np.asarray(
+            [[(i + 1 + int(rng.integers(max(n - 1, 1)))) % n if n > 1 else i
+              for i in range(n)] for _ in steps], np.int32)
+        flags = PretrainFlags(
+            use_regs=jnp.ones((len(steps),), jnp.float32),
+            hair_paint=jnp.zeros((len(steps),), jnp.float32))
+        (states_stack, gopt_stack, umf_params, umf_opt_state, pmf_stack,
+         pmf_opt_stack, ema_params, blk_losses) = blk(
+            states_stack, gopt_stack, umf_params, umf_opt_state, pmf_stack,
+            pmf_opt_stack, ema_params, face_states_stack, face_umf_params,
+            batch_stack, jnp.asarray(fidx), jnp.asarray(others),
+            jnp.asarray(steps, jnp.int32), flags)
+        losses.append(blk_losses)
+        it = block_end + 1
+        end = block_end
+
+        if end % 1000 == 0:
+            states_stack = jax.vmap(G.one_up_sh_degree)(states_stack)
+        if end < densify_until and end > opt_cfg.densify_from_iter \
+                and end % interval == 0:
+            key, sub = jax.random.split(key)
+            floor = 0.05 + 0.25 * end / max(densify_until, 1)
+            states_stack, gopt_stack = densify(states_stack, gopt_stack,
+                                               sub, floor)
+            # green soften (not prune — pretrain_mouth.py:334-346), vmapped
+            cams = batch_stack.camera_center[
+                jnp.arange(n), jnp.asarray(fidx[-1])]
+            states_stack = jax.vmap(_soften_green)(states_stack, cams)
+        if end % log_every < len(steps):
+            recent = np.asarray(losses[-1])
+            print(f"[pretrain_mouth idp {end}/{iterations}] "
+                  f"loss={recent.mean():.4f} t={time.time()-t0:.0f}s",
+                  flush=True)
+
+    loss_flat = np.concatenate([np.asarray(b).mean(-1) for b in losses]) \
+        if losses else np.zeros((0,))
+    states = [jax.tree.map(lambda x, k=k: x[k], states_stack)
+              for k in range(n)]
+    gopts = [jax.tree.map(lambda x, k=k: x[k], gopt_stack)
+             for k in range(n)]
+    return dict(umf_params=umf_params, ema_params=ema_params,
+                umf_opt_state=umf_opt_state, pmf_stack=pmf_stack,
+                states=states, gopts=gopts, data_list=data_list,
+                losses=loss_flat.tolist(), cfg=cfg)
+
+
 def _sample_face_curriculum(rng, meta, stack, it, warm_step, select_iter,
                             select_interval):
     n_frames = len(meta["mouth"])
@@ -773,9 +893,14 @@ def _prune_green(state, opt, campos):
 def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                    data_list: list[str], face_result: dict,
                    log_every: int = 500, seed: int = 0,
-                   warm_per_id: int = 3000, identity_block: int = 25):
+                   warm_per_id: int = 3000, identity_block: int = 25,
+                   identity_parallel: bool = False):
     """Multi-identity mouth UMF pre-training (pretrain_mouth.py); consumes
-    the face pre-training result (per-identity face clouds + EMA face UMF)."""
+    the face pre-training result (per-identity face clouds + EMA face UMF).
+
+    ``identity_parallel``: train all identities per step over an ``id``
+    device mesh (see pretrain_face); per-identity face clouds ride the
+    stack, the frozen EMA face UMF is replicated."""
     n = len(data_list)
     iterations = opt_cfg.iterations * n
     warm_step = warm_per_id * n
@@ -832,6 +957,15 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     extent = metas[0]["extent"]
     batches = _pad_batches(batches)
     warm = make_warm_step(cfg, opt_cfg, extent, mouth=True)
+
+    if identity_parallel:
+        return _pretrain_mouth_idp(
+            cfg, opt_cfg, umf_net, pmf_net, face_net, umf_tx, pmf_tx,
+            umf_opt_state, umf_params, ema_params, pmf_stack, pmf_opt_stack,
+            states, gopts, batches, metas, data_list, extent, n,
+            face_states, face_umf_params, warm, warm_per_id, log_every,
+            seed)
+
     motion_block = make_pretrain_mouth_step(cfg, opt_cfg, umf_net, pmf_net,
                                             face_net, extent, n, umf_tx,
                                             pmf_tx)

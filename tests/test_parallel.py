@@ -289,9 +289,9 @@ def test_identity_parallel_mouth_loss_matches_serial():
             jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32), sflags)
         serial_losses.append(float(res[-1][0]))
 
-    step = make_idp_pretrain_mouth_step(cfg, oc, mouth_net, mouth_pmf_net,
-                                        face_net, 1.0, n_ids, mesh, umf_tx,
-                                        pmf_tx)
+    step, _blk = make_idp_pretrain_mouth_step(cfg, oc, mouth_net,
+                                              mouth_pmf_net, face_net, 1.0,
+                                              n_ids, mesh, umf_tx, pmf_tx)
     flags = PretrainFlags(use_regs=jnp.float32(1.0),
                           hair_paint=jnp.float32(0.0))
     out = step(stack_identities(states), stack_identities(gopts),

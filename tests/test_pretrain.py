@@ -146,3 +146,21 @@ def test_pretrain_face_identity_parallel(pretrain_root):
     assert leaf.shape[0] == 2
     for st in res["states"]:
         assert int(np.asarray(st.num_alive())) > 0
+
+
+def test_pretrain_mouth_identity_parallel(pretrain_root, face_pretrain):
+    """pretrain_mouth(identity_parallel=True) runs end-to-end on the
+    virtual mesh with the stacked face clouds + replicated face UMF."""
+    from instag_tpu.train.pretrain import pretrain_mouth
+
+    mc = ModelConfig(source_path=pretrain_root, init_num=120, capacity=512,
+                     max_per_tile=48, type="mouth")
+    oc = OptimizationConfig(iterations=8, densify_from_iter=2,
+                            densification_interval=4,
+                            opacity_reset_interval=100000,
+                            position_lr_max_steps=16)
+    res = pretrain_mouth(mc, oc, ["id_a", "id_b"], face_pretrain,
+                         log_every=4, warm_per_id=2, identity_parallel=True)
+    assert np.isfinite(res["losses"]).all()
+    assert len(res["losses"]) == 8
+    assert len(res["states"]) == 2
