@@ -34,8 +34,16 @@ def main(argv=None):
     parser.add_argument("--dilate", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip_synthesis", action="store_true")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="frames per face-adaptation optimizer step; "
+                             ">1 shards the batch over a 'dp' device mesh")
     mc, _, oc, args = parse_all(parser, argv)
     t0 = time.time()
+
+    dp_mesh = None
+    if args.data_parallel > 1:
+        from ..parallel import make_mesh
+        dp_mesh = make_mesh(args.data_parallel)
 
     def stage(name):
         print(f"[adapt] {name} (t={time.time() - t0:.0f}s)", flush=True)
@@ -55,7 +63,8 @@ def main(argv=None):
     from ..train.face import train_face
     mc.type = "face"
     face_res = train_face(mc, oc, pretrain_bundle=load_pre("face"),
-                          long=args.long, seed=args.seed)
+                          long=args.long, seed=args.seed,
+                          data_parallel=args.data_parallel, dp_mesh=dp_mesh)
     face_bundle = dict(state=face_res["state"],
                        umf_params=face_res["umf_params"],
                        pmf_params=face_res["pmf_params"],

@@ -22,8 +22,17 @@ def main(argv=None):
     parser.add_argument("--start_checkpoint", type=str, default="")
     parser.add_argument("--test_every", type=int, default=0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="frames per optimizer step; >1 shards the "
+                             "frame batch over a 'dp' device mesh (full "
+                             "loss incl. densification stats)")
     mc, _, oc, args = parse_all(parser, argv)
     mc.type = "face"
+
+    dp_mesh = None
+    if args.data_parallel > 1:
+        from ..parallel import make_mesh
+        dp_mesh = make_mesh(args.data_parallel)
 
     pretrain = None
     if args.pretrain_path:
@@ -36,7 +45,8 @@ def main(argv=None):
     res = train_face(mc, oc, pretrain_bundle=pretrain, long=args.long,
                      seed=args.seed, resume_bundle=resume,
                      log_dir=mc.model_path or None,
-                     test_every=args.test_every)
+                     test_every=args.test_every,
+                     data_parallel=args.data_parallel, dp_mesh=dp_mesh)
 
     if mc.model_path:
         save_cfg(mc.model_path, mc)

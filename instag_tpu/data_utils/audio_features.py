@@ -205,11 +205,88 @@ def extract_deepspeech(wav_path: str, out_path: str):
     np.save(out_path, make_frame_windows(feats, n))
 
 
+def _psf_mfcc(wav: np.ndarray, sr: int = 16000, numcep: int = 26,
+              nfilt: int = 26, winlen: float = 0.025, winstep: float = 0.01,
+              n_fft: int = 512, preemph: float = 0.97,
+              ceplifter: int = 22) -> np.ndarray:
+    """python_speech_features-compatible MFCC (the exact transform the
+    reference feeds DeepSpeech, deepspeech_features.py:206-210): preemphasis,
+    rectangular window, power spectrum, 26 mel filters, DCT-II ortho,
+    liftering, c0 replaced by log frame energy (appendEnergy=True)."""
+    sig = np.append(wav[0], wav[1:] - preemph * wav[:-1]).astype(np.float64)
+    frame_len = int(round(winlen * sr))
+    step = int(round(winstep * sr))
+    n = 1 + max(0, int(np.ceil((len(sig) - frame_len) / step)))
+    pad = np.concatenate([sig, np.zeros(max(0, (n - 1) * step + frame_len
+                                            - len(sig)))])
+    idx = (np.arange(frame_len)[None, :]
+           + step * np.arange(n)[:, None])
+    frames = pad[idx]                                   # [n, frame_len]
+    pspec = (np.abs(np.fft.rfft(frames, n_fft)) ** 2) / n_fft
+    energy = np.maximum(pspec.sum(1), np.finfo(np.float64).eps)
+    # HTK-mel triangular filterbank, unnormalized, bin-index edges
+    # (python_speech_features.get_filterbanks)
+    hz2mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)
+    mel2hz = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    melpts = np.linspace(hz2mel(0.0), hz2mel(sr / 2.0), nfilt + 2)
+    bins = np.floor((n_fft + 1) * mel2hz(melpts) / sr).astype(int)
+    fb = np.zeros((nfilt, n_fft // 2 + 1))
+    for j in range(nfilt):
+        for i in range(bins[j], bins[j + 1]):
+            fb[j, i] = (i - bins[j]) / max(bins[j + 1] - bins[j], 1)
+        for i in range(bins[j + 1], bins[j + 2]):
+            fb[j, i] = (bins[j + 2] - i) / max(bins[j + 2] - bins[j + 1], 1)
+    feat = np.maximum(pspec @ fb.T, np.finfo(np.float64).eps)
+    from scipy.fftpack import dct
+    ceps = dct(np.log(feat), type=2, axis=1, norm="ortho")[:, :numcep]
+    if ceplifter > 0:
+        lift = 1 + (ceplifter / 2.0) * np.sin(
+            np.pi * np.arange(numcep) / ceplifter)
+        ceps = ceps * lift
+    ceps[:, 0] = np.log(energy)
+    return ceps
+
+
+def _deepspeech_input_vector(wav: np.ndarray, num_cepstrum: int = 26,
+                             num_context: int = 9) -> np.ndarray:
+    """MFCC -> stride-2 -> 19-frame context windows -> global standardize
+    (deepspeech_features.py:205-238, the DeepSpeech 0.1.0 input contract)."""
+    feats = _psf_mfcc(wav)[::2]                         # BiRNN stride 2
+    pad = np.zeros((num_context, num_cepstrum), feats.dtype)
+    feats = np.concatenate([pad, feats, pad])
+    win = 2 * num_context + 1
+    s = len(feats) - win + 1
+    windows = np.stack([feats[i:i + win].reshape(-1) for i in range(s)])
+    return ((windows - windows.mean()) / windows.std()).astype(np.float32)
+
+
 def _extract_deepspeech_tf(wav_path: str, out_path: str, pb: str):
-    """Run the reference's TF1 frozen DeepSpeech graph
-    (deepspeech_features/deepspeech_features.py:16-108 input contract)."""
-    import tensorflow as tf  # noqa — optional dependency, gated by caller
-    raise ImportError("TF1 DeepSpeech path not exercised in this image")
+    """Run the reference's TF1 frozen DeepSpeech 0.1.0 graph
+    (deepspeech_features/deepspeech_features.py:79-108: import_graph_def,
+    feed input_node/input_lengths, fetch logits) and window the 29-dim
+    logits to the aud_ds.npy contract."""
+    import tensorflow.compat.v1 as tf  # optional dependency, gated by caller
+    from ..data.audio import load_wav
+
+    with tf.io.gfile.GFile(pb, "rb") as f:
+        graph_def = tf.GraphDef()
+        graph_def.ParseFromString(f.read())
+    graph = tf.Graph()
+    with graph.as_default():
+        tf.import_graph_def(graph_def, name="deepspeech")
+    logits_t = graph.get_tensor_by_name("deepspeech/logits:0")
+    input_t = graph.get_tensor_by_name("deepspeech/input_node:0")
+    lengths_t = graph.get_tensor_by_name("deepspeech/input_lengths:0")
+
+    wav = load_wav(wav_path, 16000)
+    vec = _deepspeech_input_vector((wav * 32767).astype(np.int16))
+    with tf.Session(graph=graph) as sess:
+        logits = sess.run(logits_t, feed_dict={
+            input_t: vec[None], lengths_t: [vec.shape[0]]})
+    feats = logits.reshape(-1, 29)                      # [S, 29] at ~50 Hz
+    n = _video_frame_count(os.path.dirname(wav_path)) or int(
+        len(wav) / 16000 * 25)
+    np.save(out_path, make_frame_windows(feats, n))
 
 
 def extract_features(wav_path: str, mode: str = "deepspeech") -> None:

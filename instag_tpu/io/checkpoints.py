@@ -151,7 +151,19 @@ def save_bundle(path: str, bundle: dict) -> None:
 def load_bundle(path: str) -> dict:
     """Load a msgpack bundle as nested dicts of numpy arrays."""
     with open(path, "rb") as f:
-        return fser.msgpack_restore(f.read())
+        data = f.read()
+    try:
+        return fser.msgpack_restore(data)
+    except Exception as e:
+        # bundles written before the msgpack switch were pickled (same .pkl
+        # extension); refuse to unpickle silently — tell the user instead
+        if data[:1] == b"\x80":  # pickle protocol>=2 magic
+            raise ValueError(
+                f"{path} is a legacy pickle bundle from an older revision; "
+                "re-save it with the current code (load with "
+                "pickle.load under your own responsibility, then "
+                "save_bundle) — load_bundle only reads msgpack") from e
+        raise
 
 
 def restore_like(target, state_dict):

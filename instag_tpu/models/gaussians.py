@@ -234,6 +234,31 @@ def add_densification_stats(state: GaussianState, means2d_grad: jnp.ndarray,
         denom=state.denom + jnp.where(upd, 1.0, 0.0))
 
 
+def add_densification_stats_batch(state: GaussianState,
+                                  means2d_grads: jnp.ndarray,
+                                  visible: jnp.ndarray) -> GaussianState:
+    """Batched variant: [B, N, 2] per-frame pixel grads, [B, N] visibility.
+    Accumulates the SUM of per-frame stats — numerically identical to B
+    serial :func:`add_densification_stats` calls, so a data-parallel frame
+    batch feeds densification exactly like the reference's per-step loop
+    (train_face.py:683-685)."""
+    norm = jnp.linalg.norm(means2d_grads[..., :2], axis=-1)      # [B, N]
+    upd = visible & state.alive[None]
+    return state.replace(
+        xyz_grad_accum=state.xyz_grad_accum
+        + jnp.where(upd, norm, 0.0).sum(0),
+        denom=state.denom + upd.sum(0).astype(jnp.float32))
+
+
+def update_max_radii_batch(state: GaussianState, radii: jnp.ndarray,
+                           visible: jnp.ndarray) -> GaussianState:
+    """Batched variant of :func:`update_max_radii` ([B, N] inputs)."""
+    r = jnp.where(visible, radii.astype(jnp.float32), -jnp.inf).max(0)
+    any_vis = visible.any(0)
+    return state.replace(max_radii2d=jnp.where(
+        any_vis, jnp.maximum(state.max_radii2d, r), state.max_radii2d))
+
+
 def update_max_radii(state: GaussianState, radii: jnp.ndarray,
                      visible: jnp.ndarray) -> GaussianState:
     """Track per-point max screen radius between densifications (the

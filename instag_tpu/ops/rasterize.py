@@ -62,9 +62,13 @@ class RasterizeConfig:
     # tiles per top-k sweep in _tile_select; larger = fewer scan steps and
     # better VPU utilization (a [select_chunk, N] key matrix per step)
     select_chunk: int = 256
-    # composite math dtype: bfloat16 halves VPU/HBM cost of the alpha
-    # evaluation with ~1e-3 relative image error (accumulation stays f32 via
-    # preferred_element_type); keep float32 for oracle-exact runs
+    # composite math dtype — XLA backend only: bfloat16 halves VPU/HBM cost
+    # of the alpha evaluation with ~1e-3 relative image error (accumulation
+    # stays f32 via preferred_element_type); keep float32 for oracle-exact
+    # runs. The fused Pallas kernel is always float32 (its log1p/cumsum
+    # transmittance recurrence loses visible precision in bf16), so on TPU
+    # (backend "auto" -> pallas) this knob must stay at its default;
+    # rasterize() raises if a non-f32 dtype reaches the Pallas path.
     compute_dtype: str = "float32"
     # compositing backend: "auto" = fused Pallas kernel on TPU, XLA-composed
     # elsewhere; "pallas" / "xla" force; "pallas_interpret" runs the Pallas
@@ -398,6 +402,12 @@ def _composite_tiles(cfg: RasterizeConfig, px, py, proj: Projected, opac,
                      light: bool = False, aux_colors=None):
     backend = _resolve_backend(cfg)
     if backend in ("pallas", "pallas_interpret"):
+        if jnp.dtype(cfg.compute_dtype) != jnp.float32:
+            raise ValueError(
+                f"compute_dtype={cfg.compute_dtype!r} is an XLA-backend "
+                "knob; the fused Pallas composite is float32-only (see "
+                "RasterizeConfig.compute_dtype). Use backend='xla' for "
+                "reduced-precision compositing.")
         return _composite_tiles_pallas(
             cfg, px, py, proj, opac, colors, extra_attrs, ids, valid, bg,
             light, aux_colors, interpret=(backend == "pallas_interpret"))

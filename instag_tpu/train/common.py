@@ -140,10 +140,10 @@ def build_frame_batch(records: list[FrameRecord],
 
 def rgb_loss(image: jnp.ndarray, gt: jnp.ndarray,
              lambda_dssim: float) -> jnp.ndarray:
-    """(1-λ)·L1 + λ·(1-SSIM) — the base photometric loss everywhere
-    (e.g. train_face.py:450-456)."""
-    return ((1.0 - lambda_dssim) * l1_loss(image, gt)
-            + lambda_dssim * (1.0 - ssim(image, gt)))
+    """L1 + λ·(1-SSIM) — the base photometric loss every reference trainer
+    uses (train_face.py:456, train_mouth.py:212, train_fuse_con.py:144);
+    the vanilla-3DGS (1-λ)·L1 weighting is NOT used anywhere in InsTaG."""
+    return l1_loss(image, gt) + lambda_dssim * (1.0 - ssim(image, gt))
 
 
 def gaussian_lrs(opt_cfg, step, spatial_lr_scale: float) -> dict[str, Any]:

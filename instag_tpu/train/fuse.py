@@ -89,16 +89,24 @@ def make_fuse_block(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
             loss = l1_loss(image, gt)
             loss += opt_cfg.lambda_dssim * (1.0 - ssim(image, gt))
             if lpips_fn is not None and lpips_patches:
-                def lp_branch(ps):
-                    def run(imgs):
-                        a, b = imgs
-                        return lpips_fn(patchify(a * 2 - 1, ps),
-                                        patchify(b * 2 - 1, ps)).mean()
-                    return run
-                d = jax.lax.switch(patch_idx,
-                                   [lp_branch(ps) for ps in lpips_patches],
-                                   (image, gt))
-                loss += use_lpips * 0.05 * d
+                # lax.cond: first-half steps skip the AlexNet entirely and
+                # the whole run is ONE compiled block (VERDICT r2 item 1)
+                def lp_terms(operands):
+                    img_, gt_, pidx_ = operands
+
+                    def lp_branch(ps):
+                        def run(imgs):
+                            a, b = imgs
+                            return lpips_fn(patchify(a * 2 - 1, ps),
+                                            patchify(b * 2 - 1, ps)).mean()
+                        return run
+                    return 0.05 * jax.lax.switch(
+                        pidx_, [lp_branch(ps) for ps in lpips_patches],
+                        (img_, gt_))
+
+                loss += jax.lax.cond(use_lpips > 0.5, lp_terms,
+                                     lambda operands: jnp.float32(0.0),
+                                     (image, gt, patch_idx))
             return loss
 
         loss, (g_face, g_mouth) = jax.value_and_grad(
@@ -119,17 +127,20 @@ def make_fuse_block(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
     def block(face_state, face_gopt, mouth_state, mouth_gopt,
               face_umf_params, mouth_umf_params, face_pmf_params,
               mouth_pmf_params, batch: FrameBatch, idxs, its, patch_idxs,
-              use_lpips_arr):
+              use_lpips_arr, valid_arr):
         def one(carry, xs):
-            i, it, pidx, ul = xs
+            i, it, pidx, ul, valid = xs
             out = _step_inner(*carry, face_umf_params, mouth_umf_params,
                               face_pmf_params, mouth_pmf_params, batch,
                               i, it, pidx, ul)
-            return out[:-1], out[-1]
+            # padding steps (valid=0) discard the update (fixed block shape)
+            new_carry = jax.tree.map(
+                lambda n, o: jnp.where(valid > 0, n, o), out[:-1], carry)
+            return new_carry, out[-1]
 
         carry, losses = jax.lax.scan(
             one, (face_state, face_gopt, mouth_state, mouth_gopt),
-            (idxs, its, patch_idxs, use_lpips_arr))
+            (idxs, its, patch_idxs, use_lpips_arr, valid_arr))
         return carry + (losses,)
 
     return block
@@ -172,13 +183,11 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         def lpips_call(a, b):
             return lpips_model.apply(lpips_params, a, b)
 
-    base = make_fuse_block(cfg, opt_cfg, face_net, mouth_net, face_pmf,
-                           mouth_pmf, extent)
-    lp_block = None
-    if lpips_enabled:
-        lp_block = make_fuse_block(cfg, opt_cfg, face_net, mouth_net,
-                                   face_pmf, mouth_pmf, extent, lpips_call,
-                                   patch_sizes)
+    # ONE compiled block: LPIPS second half rides a per-step lax.cond
+    run = make_fuse_block(cfg, opt_cfg, face_net, mouth_net, face_pmf,
+                          mouth_pmf, extent,
+                          lpips_call if lpips_enabled else None,
+                          patch_sizes if lpips_enabled else ())
 
     rng = np.random.default_rng(seed)
     losses = []
@@ -187,21 +196,27 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     it = 1
     while it <= iterations:
         block_end = min(iterations, ((it - 1) // block_len + 1) * block_len)
-        if it <= lpips_start < block_end:
-            block_end = lpips_start
         steps = list(range(it, block_end + 1))
+        n = len(steps)
         idxs = [int(rng.integers(batch.num_frames)) for _ in steps]
         pidx = [int(rng.integers(len(patch_sizes))) for _ in steps]
         ul = [float(s > lpips_start) for s in steps]
-        run = lp_block if (lp_block is not None and it > lpips_start) else base
+        valid = [1.0] * n
+        if n < block_len:  # pad to the single compiled shape
+            padn = block_len - n
+            steps = steps + [block_end] * padn
+            idxs = idxs + [idxs[-1]] * padn
+            pidx = pidx + [0] * padn
+            ul = ul + [0.0] * padn
+            valid = valid + [0.0] * padn
         (face_state, face_gopt, mouth_state, mouth_gopt, block_losses) = run(
             face_state, face_gopt, mouth_state, mouth_gopt,
             face_bundle["umf_params"], mouth_bundle["umf_params"],
             face_bundle["pmf_params"], mouth_bundle["pmf_params"],
             batch, jnp.asarray(idxs, jnp.int32), jnp.asarray(steps, jnp.int32),
-            jnp.asarray(pidx, jnp.int32), jnp.asarray(ul, jnp.float32))
-        losses.extend(np.asarray(block_losses).tolist())
-        n = len(steps)
+            jnp.asarray(pidx, jnp.int32), jnp.asarray(ul, jnp.float32),
+            jnp.asarray(valid, jnp.float32))
+        losses.extend(np.asarray(block_losses)[:n].tolist())
         it = block_end + 1
         if block_end % log_every < n:
             print(f"[fuse {block_end}/{iterations}] "

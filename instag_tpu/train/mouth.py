@@ -45,6 +45,7 @@ GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
 class MouthFlags:
     align: jnp.ndarray      # 0/1
     use_regs: jnp.ndarray   # 0/1
+    valid: jnp.ndarray      # 0 on block-padding steps (see train/face.py)
 
 
 def make_mouth_block(cfg: RasterizeConfig, opt_cfg, mouth_net, pmf_net,
@@ -121,7 +122,9 @@ def make_mouth_block(cfg: RasterizeConfig, opt_cfg, mouth_net, pmf_net,
             i, it, k, flag = xs
             out = _step_inner(*carry, face_state, face_umf_params, batch,
                               i, it, k, flag)
-            return out[:-1], out[-1]
+            new_carry = jax.tree.map(
+                lambda n, o: jnp.where(flag.valid > 0, n, o), out[:-1], carry)
+            return new_carry, out[-1]
 
         carry, losses = jax.lax.scan(
             one,
@@ -275,8 +278,19 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             ks.append(int(rng.integers(10, 51)))     # :175
             al.append(float(step_i > 1000))
             ur.append(float(step_i > warm_step))
+        n = block_end - it + 1
+        va = [1.0] * n
+        if n < interval:  # pad to the single compiled block shape
+            padn = interval - n
+            idxs += [idxs[-1]] * padn
+            its_arr += [block_end] * padn
+            ks += [10] * padn
+            al += [0.0] * padn
+            ur += [0.0] * padn
+            va += [0.0] * padn
         flags = MouthFlags(align=jnp.asarray(al, jnp.float32),
-                           use_regs=jnp.asarray(ur, jnp.float32))
+                           use_regs=jnp.asarray(ur, jnp.float32),
+                           valid=jnp.asarray(va, jnp.float32))
         if stream:
             blk_batch = batch.gather(idxs)
             idx_arr = jnp.arange(len(idxs), dtype=jnp.int32)
@@ -289,8 +303,7 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             pmf_opt_state, face_state, face_umf_params, blk_batch,
             idx_arr, jnp.asarray(its_arr, jnp.int32),
             jnp.asarray(ks, jnp.int32), flags)
-        losses.extend(np.asarray(block_losses).tolist())
-        n = block_end - it + 1
+        losses.extend(np.asarray(block_losses)[:n].tolist())
         it = block_end + 1
         end = block_end
 

