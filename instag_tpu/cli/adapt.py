@@ -34,6 +34,9 @@ def main(argv=None):
     parser.add_argument("--dilate", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip_synthesis", action="store_true")
+    parser.add_argument("--fast", action="store_true",
+                        help="skip variant videos, PLY dumps and metrics "
+                             "(reference synthesize_fuse.py --fast)")
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="frames per face-adaptation optimizer step; "
                              ">1 shards the batch over a 'dp' device mesh")
@@ -99,7 +102,10 @@ def main(argv=None):
     # ---- fuse ----
     stage("train_fuse")
     from ..train.fuse import train_fuse
-    ocf = dataclasses.replace(oc, iterations=args.fuse_iterations)
+    # fusion opacity LR 1e-3 as the reference pipeline passes it
+    # (train_xx_few.sh:21 --opacity_lr 0.001)
+    ocf = dataclasses.replace(oc, iterations=args.fuse_iterations,
+                              opacity_lr=1e-3)
     mouth_bundle = dict(state=mouth_res["state"],
                         umf_params=mouth_res["umf_params"],
                         pmf_params=mouth_res["pmf_params"])
@@ -117,17 +123,35 @@ def main(argv=None):
                  "mouth_state": state_to_dict(fuse_res["mouth_state"]),
                  "iteration": args.fuse_iterations})
 
-    # ---- synthesize ----
+    # ---- synthesize + metrics (the reference chain ends with
+    # `metrics.py renders/out.mp4 gt/out.mp4`, train_xx_few.sh last line) ----
     if not args.skip_synthesis:
         stage("synthesize")
         from ..synthesize import synthesize
         out = os.path.join(mc.model_path, "out.mp4")
         video, fps = synthesize(
             mc, fuse_bundle, split="val", audio_file=mc.audio,
-            dilate=args.dilate, out_path=out, dump_plys=11,
-            ply_dir=os.path.join(mc.model_path, "deformed_ply"))
+            dilate=args.dilate, out_path=out, dump_plys=0 if args.fast else 11,
+            ply_dir=os.path.join(mc.model_path, "deformed_ply"),
+            fast=args.fast)
         print(f"[adapt] wrote {out}: {video.shape[0]} frames "
               f"@ {fps:.1f} FPS synthesis")
+
+        if not args.fast:
+            stage("metrics")
+            import json
+            import numpy as np
+            from ..data.dataset import load_frames
+            from ..metrics import evaluate_frames
+            gt = np.stack([r.image for r in load_frames(
+                mc.source_path, "val", mc.audio_extractor, -1)])
+            scores = evaluate_frames(video, gt.astype(np.uint8))
+            mpath = os.path.join(mc.model_path, "metrics.json")
+            with open(mpath, "w") as f:
+                json.dump(scores, f, indent=1)
+            print("[adapt] metrics: " + " ".join(
+                f"{k}={v:.4f}" for k, v in scores.items()
+                if isinstance(v, float)) + f" -> {mpath}")
 
     print(f"[adapt] total wall: {time.time() - t0:.0f}s", flush=True)
 

@@ -42,7 +42,8 @@ def main(argv=None):
                             personalized=args.personalized, out_path=out,
                             dump_plys=0 if args.fast else 11,
                             ply_dir=os.path.join(mc.model_path,
-                                                 "deformed_ply"))
+                                                 "deformed_ply"),
+                            fast=args.fast)
     print(f"wrote {out}: {video.shape[0]} frames @ {fps:.1f} FPS synthesis")
 
 

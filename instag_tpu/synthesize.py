@@ -35,11 +35,15 @@ GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
 
 
 def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
-                      dilate: bool = False, personalized: bool = False):
+                      dilate: bool = False, personalized: bool = False,
+                      variants: bool = False):
     """Build the jitted per-frame synthesis step.
 
     Returns fn(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
-    mouth_pmf, batch, i) -> uint8 [H, W, 3].
+    mouth_pmf, batch, i) -> uint8 [H, W, 3]; with ``variants`` the
+    composite/face-branch/mouth-branch images come back stacked as ONE
+    uint8 [3, H, W, 3] array (single host fetch per frame — the variant
+    videos the reference writes unless --fast, synthesize_fuse.py:81-90).
 
     Note: for a whole-clip loop prefer ``make_clip_synthesis_fn`` — it bakes
     the clip-constant model state into the executable so each frame is one
@@ -87,8 +91,15 @@ def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
         image = composite_fuse(fr.out.image, fr.out.alpha, mr.out.image,
                                alpha_m, GREEN, torso_bg,
                                mouth_dilate_alpha=dil)
-        return (jnp.clip(image, 0.0, 1.0) * 255.0
-                ).astype(jnp.uint8).transpose(1, 2, 0)
+
+        def to_u8(img):
+            return (jnp.clip(img, 0.0, 1.0) * 255.0
+                    ).astype(jnp.uint8).transpose(1, 2, 0)
+
+        if variants:
+            return jnp.stack([to_u8(image), to_u8(fr.out.image),
+                              to_u8(mr.out.image)])
+        return to_u8(image)
 
     return synth
 
@@ -129,8 +140,14 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
                dilate: bool = False, personalized: bool = False,
                out_path: str | None = None, fps: int = 25,
                max_frames: int | None = None, dump_plys: int = 0,
-               ply_dir: str = ""):
-    """Render a full clip; returns (frames [T,H,W,3] uint8, fps achieved)."""
+               ply_dir: str = "", fast: bool = True):
+    """Render a full clip; returns (frames [T,H,W,3] uint8, fps achieved).
+
+    With ``fast=False`` (the reference default, synthesize_fuse.py:81-90)
+    the face-branch/mouth-branch variant videos are written next to
+    ``out_path`` (out_face.mp4 / out_mouth.mp4) plus the ground-truth clip
+    (gt.mp4) — the pair metrics.py consumes.
+    """
     records = load_frames(model_cfg.source_path, split,
                           model_cfg.audio_extractor, -1,
                           audio_file=audio_file)
@@ -140,7 +157,9 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
     h, w = records[0].height, records[0].width
     cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
 
-    synth_full = make_synthesis_fn(cfg, model_cfg, dilate, personalized)
+    variants = (not fast) and out_path is not None
+    synth_full = make_synthesis_fn(cfg, model_cfg, dilate, personalized,
+                                   variants=variants)
 
     if dump_plys:
         export_deformed_plys(cfg, model_cfg, fuse_bundle, batch,
@@ -172,7 +191,17 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
     dt = time.time() - t0
     achieved_fps = batch.num_frames / max(dt, 1e-9)
 
-    video = np.stack(frames)
+    stacked = np.stack(frames)
+    if variants:
+        video = stacked[:, 0]
+        base = os.path.dirname(out_path) or "."
+        write_video(os.path.join(base, "out_face.mp4"), stacked[:, 1], fps)
+        write_video(os.path.join(base, "out_mouth.mp4"), stacked[:, 2], fps)
+        # ground truth straight from the host records (no device fetch)
+        gt = np.stack([r.image for r in records]).astype(np.uint8)
+        write_video(os.path.join(base, "gt.mp4"), gt, fps)
+    else:
+        video = stacked
     if out_path:
         write_video(out_path, video, fps)
     return video, achieved_fps

@@ -112,8 +112,10 @@ def make_fuse_block(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
         loss, (g_face, g_mouth) = jax.value_and_grad(
             loss_fn, argnums=(0, 1))(face_state.params, mouth_state.params)
 
+        # the pipeline scripts pass --opacity_lr 0.001 (train_xx_few.sh:21);
+        # honored via the flag like the reference train_fuse_con.py
         lrs = gaussian_lrs(opt_cfg, it, spatial_lr_scale)
-        lrs = dict(lrs, opacity=1e-3)  # script override (train_xx_few.sh)
+        lrs = dict(lrs, opacity=opt_cfg.opacity_lr)
         fp, face_gopt = G.adam_update(face_state.params, g_face, face_gopt,
                                       _mask_lrs(lrs, _FACE_TRAIN),
                                       face_state.alive)
