@@ -66,3 +66,44 @@ def synthetic_motion_params(audio_extractor: str = "deepspeech",
             size=(8, 29, 16)).astype(np.float32)),
         exp=jnp.asarray(np.abs(np.random.default_rng(seed + 1).normal(
             0.3, 0.2, 6)).astype(np.float32)))
+
+
+def synthetic_frame_batch(size: int, n_frames: int = 4, seed: int = 0,
+                          aud_dim: int = 29):
+    """A fully in-memory FrameBatch at adaptation-scale shapes (for
+    training-step benchmarks; no dataset files needed)."""
+    from .train.common import FrameBatch
+
+    rng = np.random.default_rng(seed)
+    cam = synthetic_camera(size)
+    f = n_frames
+
+    def tile(x):
+        return jnp.tile(jnp.asarray(x)[None], (f,) + (1,) * jnp.ndim(x))
+
+    face = np.zeros((f, size, size), bool)
+    face[:, size // 4: 3 * size // 4, size // 4: 3 * size // 4] = True
+    hair = np.zeros((f, size, size), bool)
+    hair[:, size // 8: size // 4, size // 4: 3 * size // 4] = True
+    mouth = np.zeros((f, size, size), bool)
+    mouth[:, size // 2: 5 * size // 8, 3 * size // 8: 5 * size // 8] = True
+    rect = np.tile(np.array([size // 2, 5 * size // 8, 3 * size // 8,
+                             5 * size // 8], np.int32), (f, 1))
+    return FrameBatch(
+        view_transform=tile(cam.view_transform),
+        full_proj_transform=tile(cam.full_proj_transform),
+        camera_center=tile(cam.camera_center),
+        tanfovx=jnp.full((f,), cam.tanfovx),
+        tanfovy=jnp.full((f,), cam.tanfovy),
+        image=jnp.asarray(rng.integers(0, 255, (f, size, size, 3)), jnp.uint8),
+        bg=jnp.asarray(rng.integers(0, 255, (f, size, size, 3)), jnp.uint8),
+        face_mask=jnp.asarray(face),
+        hair_mask=jnp.asarray(hair),
+        mouth_mask=jnp.asarray(mouth),
+        auds=jnp.asarray(rng.normal(size=(f, 8, aud_dim, 16)), jnp.float32),
+        blink=jnp.asarray(rng.uniform(0, 1, (f,)), jnp.float32),
+        au_exp=jnp.asarray(rng.uniform(0, 1, (f, 6)), jnp.float32),
+        lips_rect=jnp.asarray(rect),
+        lhalf_rect=jnp.asarray(rect),
+        mouth_bound=jnp.tile(jnp.asarray([0.1, 0.9, 0.5], jnp.float32),
+                             (f, 1)))
