@@ -58,10 +58,10 @@ def synthetic_motion_params(audio_extractor: str = "deepspeech",
     return dict(
         face_net=face_net, mouth_net=mouth_net,
         face_pmf_net=face_pmf, mouth_pmf_net=mouth_pmf,
-        face_umf_params=face_net.init(keys[0], x0, aud, exp),
-        mouth_umf_params=mouth_net.init(keys[1], x0, aud, move),
-        face_pmf_params=face_pmf.init(keys[2], x0, aud, exp),
-        mouth_pmf_params=mouth_pmf.init(keys[3], x0, aud),
+        face_umf_params=jax.jit(face_net.init)(keys[0], x0, aud, exp),
+        mouth_umf_params=jax.jit(mouth_net.init)(keys[1], x0, aud, move),
+        face_pmf_params=jax.jit(face_pmf.init)(keys[2], x0, aud, exp),
+        mouth_pmf_params=jax.jit(mouth_pmf.init)(keys[3], x0, aud),
         aud=jnp.asarray(np.random.default_rng(seed).normal(
             size=(8, 29, 16)).astype(np.float32)),
         exp=jnp.asarray(np.abs(np.random.default_rng(seed + 1).normal(

@@ -126,35 +126,60 @@ def load_model(path: str) -> MorphableModel:
         rigid_idx=d["rigid_idx"].astype(np.int32))
 
 
-def convert_bfm_info(info_path: str, out_path: str,
+def convert_bfm_info(model_dir: str, out_path: str,
                      n_id: int = 100, n_exp: int = 79,
                      n_tex: int = 100) -> str:
-    """Convert the reference's ``3DMM/3DMM_info.npy`` (produced by
-    convert_BFM.py from the BFM-2009 release) to our .npz layout.
+    """Convert the reference's ``3DMM/`` model directory to our .npz layout.
 
-    Field mapping from face_tracking/facemodel.py: ``sub_mesh`` carries the
-    rigid vertex ids; bases arrive flattened [3V, K] and textures in 0-255.
+    Reads the three files the reference tracker loads
+    (face_tracking/facemodel.py:15-48, render_3dmm.py:96-101):
+
+      * ``3DMM_info.npy`` — dict with ``mu_shape``/``mu_exp``/``mu_tex``
+        flattened ``[3V]`` and bases ``b_shape``/``b_exp``/``b_tex`` stored
+        ``[K, 3V]`` (convert_BFM.py:18-27) plus per-mode stddevs
+        ``sig_shape``/``sig_exp``/``sig_tex``;
+      * ``keys_info.npy`` — ``keyinds`` (68 landmark vertex ids) and
+        ``rigid_ids`` (pose-stable subset);
+      * ``topology_info.npy`` — ``tris``.
+
+    The facemodel.py normalization is folded in so our plain
+    ``mean + B @ para`` math reproduces the reference's
+    ``(para * sig) @ (b / 1e5) + centered(mu/1e5)``:
+    mean = mean-centered (mu_shape + mu_exp)/1e5; id/exp bases are
+    transposed to ``[V, 3, K]``, scaled by ``sig/1e5``; textures (0-255 in
+    the file) map to our [0, 1] convention with ``sig_tex`` folded.
     """
-    info = np.load(info_path, allow_pickle=True).item()
+    import os
+
+    info = np.load(os.path.join(model_dir, "3DMM_info.npy"),
+                   allow_pickle=True).item()
+    keys = np.load(os.path.join(model_dir, "keys_info.npy"),
+                   allow_pickle=True).item()
+    topo = np.load(os.path.join(model_dir, "topology_info.npy"),
+                   allow_pickle=True).item()
     v = info["mu_shape"].size // 3
 
-    def unflat(b, k):
-        return b[:, :k].reshape(v, 3, k).astype(np.float32)
+    def basis(b, sig, k, scale):
+        # [K_all, 3V] -> [V, 3, k], each mode scaled by its stddev
+        bt = (b[:k].astype(np.float64)
+              * sig[:k].reshape(-1, 1).astype(np.float64) * scale)
+        return np.transpose(bt.reshape(k, v, 3), (1, 2, 0)).astype(np.float32)
+
+    mu = (info["mu_shape"].astype(np.float64)
+          + info["mu_exp"].astype(np.float64)).reshape(v, 3)
+    mu = mu - mu.mean(axis=0, keepdims=True)     # facemodel.py:23-26
+    mu = (mu / 100000.0).astype(np.float32)
 
     np.savez(
         out_path,
-        mean_shape=info["mu_shape"].reshape(v, 3).astype(np.float32),
-        id_basis=unflat(info["b_shape"], n_id),
-        exp_basis=unflat(info["b_exp"], n_exp),
+        mean_shape=mu,
+        id_basis=basis(info["b_shape"], info["sig_shape"], n_id, 1e-5),
+        exp_basis=basis(info["b_exp"], info["sig_exp"], n_exp, 1e-5),
         mean_tex=(info["mu_tex"].reshape(v, 3) / 255.0).astype(np.float32),
-        tex_basis=(unflat(info["b_tex"], n_tex) / 255.0),
-        tris=info["info"]["tri"].astype(np.int32)
-            if isinstance(info.get("info"), dict) else info["tri"].astype(np.int32),
-        landmark_idx=info["keys_info"]["keys"].astype(np.int32).reshape(-1)
-            if isinstance(info.get("keys_info"), dict) else info["keys"].astype(np.int32),
-        rigid_idx=np.asarray(info.get("sub_mesh_id",
-                                      np.arange(0, v, max(1, v // 1000))),
-                             np.int32).reshape(-1))
+        tex_basis=basis(info["b_tex"], info["sig_tex"], n_tex, 1.0 / 255.0),
+        tris=np.asarray(topo["tris"], np.int32).reshape(-1, 3),
+        landmark_idx=np.asarray(keys["keyinds"], np.int32).reshape(-1),
+        rigid_idx=np.asarray(keys["rigid_ids"], np.int32).reshape(-1))
     return out_path
 
 

@@ -36,6 +36,7 @@ from typing import Any
 import numpy as np
 import jax
 import jax.numpy as jnp
+from functools import partial
 from flax import struct
 
 from ..ops.knn import mean_knn_dist2
@@ -110,11 +111,16 @@ class AdamState:
     step: jnp.ndarray  # scalar int32
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def create_from_points(points: jnp.ndarray, colors: jnp.ndarray,
                        capacity: int, max_sh_degree: int = 2,
                        spatial_lr_scale: float = 1.0) -> GaussianState:
     """Initialize a cloud from N points/colors into a capacity-C state
-    (reference create_from_pcd, scene/gaussian_model.py:206-335)."""
+    (reference create_from_pcd, scene/gaussian_model.py:206-335).
+
+    jit (one program): the KNN scale init alone is dozens of eager ops, and
+    on a network-tunneled device every eager op pays a compile-RPC round
+    trip (BASELINE.md warm-up accounting)."""
     n = points.shape[0]
     assert n <= capacity
     rest_k = (max_sh_degree + 1) ** 2 - 1
@@ -154,6 +160,7 @@ def one_up_sh_degree(state: GaussianState) -> GaussianState:
 # Per-attribute Adam (eps 1e-15), replacing named param-group surgery.
 # --------------------------------------------------------------------------
 
+@jax.jit
 def adam_init(params: GaussianParams) -> AdamState:
     zeros = jax.tree.map(jnp.zeros_like, params)
     return AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),

@@ -92,7 +92,9 @@ def load_lpips_params(rng_seed: int = 0):
     """
     model = LPIPS()
     dummy = jnp.zeros((1, 3, 64, 64))
-    params = model.init(jax.random.key(rng_seed), dummy, dummy)
+    # jit: eager init dispatches ~200 tiny ops (each a compile-RPC round
+    # trip on a tunneled device); one compiled program instead
+    params = jax.jit(model.init)(jax.random.key(rng_seed), dummy, dummy)
 
     path = os.environ.get("INSTAG_LPIPS_WEIGHTS", "weights/lpips_alex.npz")
     if os.path.exists(path):

@@ -396,10 +396,10 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     x0 = state.params.xyz[:8]
     a0 = b0.auds[0]
     e0 = b0.au_exp[0]
-    umf_params = umf_net.init(k1, x0, a0, e0)
+    umf_params = jax.jit(umf_net.init)(k1, x0, a0, e0)
     if pretrain_bundle is not None:
         umf_params = jax.tree.map(jnp.asarray, pretrain_bundle["umf_params"])
-    pmf_params = pmf_net.init(k2, x0, a0, e0)
+    pmf_params = jax.jit(pmf_net.init)(k2, x0, a0, e0)
 
     umf_tx, umf_opt_state = umf_optimizer(
         umf_params, total_iters=iterations, warm_step=warm_step, long=long)

@@ -226,10 +226,10 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     b0 = batch.gather([0]) if stream else batch
     x0, a0 = state.params.xyz[:8], b0.auds[0]
     mv0 = jnp.zeros((1, 3))
-    umf_params = mouth_net.init(k1, x0, a0, mv0)
+    umf_params = jax.jit(mouth_net.init)(k1, x0, a0, mv0)
     if pretrain_bundle is not None:
         umf_params = jax.tree.map(jnp.asarray, pretrain_bundle["umf_params"])
-    pmf_params = pmf_net.init(k2, x0, a0)
+    pmf_params = jax.jit(pmf_net.init)(k2, x0, a0)
 
     face_state: G.GaussianState = face_bundle["state"]
     face_umf_params = face_bundle["umf_params"]

@@ -71,7 +71,8 @@ def umf_optimizer(params, lr: float = 5e-3, lr_net: float = 5e-4,
             "align": adamw(lr_net / 2, 0.0),
         },
         label_tree(params))
-    return tx, tx.init(params)
+    import jax
+    return tx, jax.jit(tx.init)(params)
 
 
 def pmf_optimizer(params, lr: float = 1e-3, lr_net: float = 1e-4):
@@ -93,7 +94,8 @@ def pmf_optimizer(params, lr: float = 1e-3, lr_net: float = 1e-4):
             "align": adam(lr_net / 2),
         },
         label_tree(params))
-    return tx, tx.init(params)
+    import jax
+    return tx, jax.jit(tx.init)(params)
 
 
 def ema_update(ema_params, params, decay: float = 0.995):

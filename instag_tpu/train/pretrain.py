@@ -467,8 +467,9 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     keys = jax.random.split(key, n + 2)
     b0 = batches[0].gather([0]) if stream else batches[0]
     x0, a0, e0 = states[0].params.xyz[:8], b0.auds[0], b0.au_exp[0]
-    umf_params = umf_net.init(keys[0], x0, a0, e0)
-    pmf_list = [pmf_net.init(keys[1 + k], x0, a0, e0) for k in range(n)]
+    umf_params = jax.jit(umf_net.init)(keys[0], x0, a0, e0)
+    pmf_list = [jax.jit(pmf_net.init)(keys[1 + k], x0, a0, e0)
+                for k in range(n)]
     pmf_stack = _stack_pmfs(pmf_list)
     ema_params = jax.tree.map(jnp.array, umf_params)
 
@@ -488,7 +489,7 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         {"net": adamw(5e-4, 0.0), "encoder": adamw(5e-3, 0.01),
          "audio_att": adamw(5e-4 * 5, 1e-4), "align": adamw(5e-4 / 2, 0.0)},
         _lt(umf_params))
-    umf_opt_state = umf_tx.init(umf_params)
+    umf_opt_state = jax.jit(umf_tx.init)(umf_params)
     pmf_tx, pmf_opt_one = pmf_optimizer(pmf_list[0])
     pmf_opt_stack = _stack_pmfs([jax.tree.map(jnp.array, pmf_opt_one)
                                  for _ in range(n)])
@@ -894,13 +895,16 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                    data_list: list[str], face_result: dict,
                    log_every: int = 500, seed: int = 0,
                    warm_per_id: int = 3000, identity_block: int = 25,
-                   identity_parallel: bool = False):
+                   identity_parallel: bool = False,
+                   stream: bool | None = None, stream_threshold: int = 1000):
     """Multi-identity mouth UMF pre-training (pretrain_mouth.py); consumes
     the face pre-training result (per-identity face clouds + EMA face UMF).
 
     ``identity_parallel``: train all identities per step over an ``id``
     device mesh (see pretrain_face); per-identity face clouds ride the
-    stack, the frozen EMA face UMF is replicated."""
+    stack, the frozen EMA face UMF is replicated.
+    ``stream``: host-RAM frames with per-block uploads, like pretrain_face
+    (auto-engages past ``stream_threshold`` frames; README Memory Hints)."""
     n = len(data_list)
     iterations = opt_cfg.iterations * n
     warm_step = warm_per_id * n
@@ -909,7 +913,17 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     select_interval = 7
 
     capacity = model_cfg.resolve_capacity()
-    ids = [_load_identity(model_cfg, name, capacity, True, seed + 7 * k)
+    if stream is None:
+        import glob as _glob
+        stream = any(
+            len(_glob.glob(os.path.join(model_cfg.source_path, name,
+                                        "gt_imgs", "*.jpg"))) > stream_threshold
+            for name in data_list)
+    if stream:
+        print("[pretrain_mouth] streaming mode: frames stay in host RAM, "
+              "per-block sub-batches upload on demand")
+    ids = [_load_identity(model_cfg, name, capacity, True, seed + 7 * k,
+                          stream=stream)
            for k, name in enumerate(data_list)]
     h, w = ids[0][0][0].height, ids[0][0][0].width
     cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
@@ -929,9 +943,11 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     key = jax.random.key(seed + 99)
     keys = jax.random.split(key, n + 2)
-    x0, a0 = states[0].params.xyz[:8], batches[0].auds[0]
-    umf_params = umf_net.init(keys[0], x0, a0, jnp.zeros((1, 3)))
-    pmf_list = [pmf_net.init(keys[1 + k], x0, a0) for k in range(n)]
+    b0 = batches[0].gather([0]) if stream else batches[0]
+    x0, a0 = states[0].params.xyz[:8], b0.auds[0]
+    umf_params = jax.jit(umf_net.init)(keys[0], x0, a0, jnp.zeros((1, 3)))
+    pmf_list = [jax.jit(pmf_net.init)(keys[1 + k], x0, a0)
+                for k in range(n)]
     pmf_stack = _stack_pmfs(pmf_list)
     ema_params = jax.tree.map(jnp.array, umf_params)
 
@@ -949,16 +965,18 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         {"net": adamw(5e-4, 0.0), "encoder": adamw(5e-3, 0.01),
          "audio_att": adamw(5e-4 * 5, 1e-4), "align": adamw(5e-4 / 2, 0.0)},
         label_tree(umf_params))
-    umf_opt_state = umf_tx.init(umf_params)
+    umf_opt_state = jax.jit(umf_tx.init)(umf_params)
     pmf_tx, pmf_opt_one = pmf_optimizer(pmf_list[0])
     pmf_opt_stack = _stack_pmfs([jax.tree.map(jnp.array, pmf_opt_one)
                                  for _ in range(n)])
 
     extent = metas[0]["extent"]
-    batches = _pad_batches(batches)
+    if not stream:
+        batches = _pad_batches(batches)
     warm = make_warm_step(cfg, opt_cfg, extent, mouth=True)
 
     if identity_parallel:
+        assert not stream, "identity_parallel is exclusive with streaming"
         return _pretrain_mouth_idp(
             cfg, opt_cfg, umf_net, pmf_net, face_net, umf_tx, pmf_tx,
             umf_opt_state, umf_params, ema_params, pmf_stack, pmf_opt_stack,
@@ -995,7 +1013,12 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             stacks[sid], s_, warm_step, select_iter, select_interval)
             for s_ in steps]
         its_arr = jnp.asarray(steps, jnp.int32)
-        idxs_arr = jnp.asarray(idxs, jnp.int32)
+        if stream:
+            # upload only this block's frames (see pretrain_face)
+            batch = batch.gather(idxs)
+            idxs_arr = jnp.arange(len(steps), dtype=jnp.int32)
+        else:
+            idxs_arr = jnp.asarray(idxs, jnp.int32)
         if it < warm_step:
             state, gopt, block_losses = warm(state, gopt, batch, idxs_arr,
                                              its_arr)
@@ -1027,7 +1050,9 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 meta["extent"],
                 20.0 if end > opt_cfg.opacity_reset_interval else None,
                 opt_cfg.percent_dense)
-            state = _soften_green(state, batch.camera_center[idxs[-1]])
+            cam_center = (batch.camera_center[int(idxs_arr[-1])] if stream
+                          else batch.camera_center[idxs[-1]])
+            state = _soften_green(state, cam_center)
         states[sid], gopts[sid] = state, gopt
 
         if end % log_every < nsteps:

@@ -40,6 +40,20 @@ class MetricsLogger:
             import numpy as np
             self._tb.add_image(tag, np.asarray(img), step)
 
+    def histogram(self, tag: str, values, step: int) -> None:
+        """Log a histogram (summary stats also land in metrics.jsonl so the
+        signal survives without TensorBoard)."""
+        import numpy as np
+        v = np.asarray(values).reshape(-1)
+        self._f.write(json.dumps({
+            "tag": tag, "step": int(step), "t": time.time(),
+            "mean": float(v.mean()), "p5": float(np.percentile(v, 5)),
+            "p50": float(np.percentile(v, 50)),
+            "p95": float(np.percentile(v, 95))}) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            self._tb.add_histogram(tag, v, step)
+
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:

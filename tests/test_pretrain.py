@@ -164,3 +164,26 @@ def test_pretrain_mouth_identity_parallel(pretrain_root, face_pretrain):
     assert np.isfinite(res["losses"]).all()
     assert len(res["losses"]) == 8
     assert len(res["states"]) == 2
+
+
+def test_pretrain_mouth_streaming_matches_preloaded(pretrain_root,
+                                                    face_pretrain):
+    """VERDICT r2 item 7: pretrain_mouth host-RAM streaming must be a pure
+    execution-strategy change — identical losses to the preloaded path."""
+    from instag_tpu.train.pretrain import pretrain_mouth
+
+    mc = ModelConfig(source_path=pretrain_root, init_num=100, capacity=256,
+                     max_per_tile=48, type="mouth")
+    oc = OptimizationConfig(iterations=10, densify_from_iter=4,
+                            densification_interval=6,
+                            opacity_reset_interval=100000,
+                            position_lr_max_steps=20)
+    res_pre = pretrain_mouth(mc, oc, ["id_a", "id_b"], face_pretrain,
+                             log_every=50, warm_per_id=2, seed=3,
+                             stream=False)
+    res_str = pretrain_mouth(mc, oc, ["id_a", "id_b"], face_pretrain,
+                             log_every=50, warm_per_id=2, seed=3,
+                             stream=True)
+    np.testing.assert_allclose(np.asarray(res_str["losses"]),
+                               np.asarray(res_pre["losses"]),
+                               rtol=1e-4, atol=1e-5)

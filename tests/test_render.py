@@ -140,3 +140,43 @@ def test_mouth_move_feature_survives_tiny_face_cloud():
         pmf=lambda x, a: pmf_net.apply(pmf, x, a),
         personalized=True, align=False, k=jnp.int32(10)))()
     assert np.isfinite(np.asarray(mr2.out.image)).all()
+
+
+def test_face_val_reporter_panels(tmp_path):
+    """Reporter logs the reference panel set (training_report:814-883):
+    L1/PSNR scalars, iter_time, val tile-saturation max, opacity histogram,
+    and an 8-column panel PNG."""
+    import json
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from instag_tpu.bench_utils import (synthetic_frame_batch,
+                                        synthetic_motion_params,
+                                        synthetic_state)
+    from instag_tpu.ops.rasterize import RasterizeConfig
+    from instag_tpu.train.report import FaceValReporter
+
+    size = 32
+    cfg = RasterizeConfig(size, size, max_per_tile=32, tile_chunk=4)
+    nets = synthetic_motion_params(onehot=True)
+    state = synthetic_state(64, 128)
+    batch = synthetic_frame_batch(size, n_frames=4)
+    rep = FaceValReporter(cfg, nets["face_net"], nets["face_pmf_net"],
+                          batch, batch, str(tmp_path), num_val=2,
+                          num_train=2)
+    r1 = rep(10, state, nets["face_umf_params"], nets["face_pmf_params"])
+    r2 = rep(20, state, nets["face_umf_params"], nets["face_pmf_params"])
+    for k in ("val_l1", "val_psnr", "train_l1", "train_psnr",
+              "val_tile_sat_max"):
+        assert k in r1 and np.isfinite(r1[k])
+    tags = [json.loads(l)["tag"] for l in
+            open(tmp_path / "metrics.jsonl")]
+    assert "scene/opacity_histogram" in tags
+    assert "val/tile_sat_max" in tags
+    assert "iter_time_ms" in tags          # second call logs the rate
+    pngs = os.listdir(tmp_path / "val_renders")
+    assert any(p.startswith("val_") for p in pngs)
+    # 8 columns wide
+    from PIL import Image
+    img = Image.open(tmp_path / "val_renders" / sorted(pngs)[0])
+    assert img.size[0] == 8 * size

@@ -177,3 +177,69 @@ def test_track_poses_photometric_roundtrip(tmp_path):
     assert np.abs(d["light"]).max() > 1e-3
     assert err_p <= err_pnp + 1e-3, (err_p, err_pnp)
     assert err_p < 2.0, f"photometric landmark err {err_p:.2f}px"
+
+
+def test_convert_bfm_info_real_layout(tmp_path):
+    """The converter must consume the REAL reference model-dir layout
+    (3DMM_info.npy [K,3V] bases + sig_* + keys_info/topology_info files,
+    convert_BFM.py:18-44) and fold facemodel.py:15-40's /1e5, mu_exp,
+    mean-centering and sig scaling so geometry() == the reference math."""
+    import numpy as np
+    from instag_tpu.data_utils.face_model import (convert_bfm_info, geometry,
+                                                  load_model, texture)
+
+    rng = np.random.default_rng(3)
+    V, K_ID, K_EXP, K_TEX = 50, 6, 5, 4
+    info = dict(
+        mu_shape=rng.normal(0, 1e4, 3 * V),
+        b_shape=rng.normal(0, 1.0, (K_ID + 2, 3 * V)),   # extra modes cut
+        sig_shape=rng.uniform(0.5, 2.0, K_ID + 2),
+        mu_exp=rng.normal(0, 1e3, 3 * V),
+        b_exp=rng.normal(0, 1.0, (K_EXP + 1, 3 * V)),
+        sig_exp=rng.uniform(0.5, 2.0, K_EXP + 1),
+        mu_tex=rng.uniform(0, 255, 3 * V),
+        b_tex=rng.normal(0, 1.0, (K_TEX, 3 * V)),
+        sig_tex=rng.uniform(0.5, 2.0, K_TEX),
+    )
+    keys = dict(keyinds=rng.integers(0, V, 68),
+                rigid_ids=rng.integers(0, V, 20),
+                left_contour=rng.integers(0, V, (8, 4)),
+                right_contour=rng.integers(0, V, (8, 4)))
+    topo = dict(tris=rng.integers(0, V, (70, 3)), vert_tris=np.zeros(1))
+    d = tmp_path / "3DMM"
+    d.mkdir()
+    np.save(d / "3DMM_info.npy", info)
+    np.save(d / "keys_info.npy", keys)
+    np.save(d / "topology_info.npy", topo)
+
+    out = convert_bfm_info(str(d), str(tmp_path / "bfm.npz"),
+                           n_id=K_ID, n_exp=K_EXP, n_tex=K_TEX)
+    model = load_model(out)
+    assert model.id_basis.shape == (V, 3, K_ID)
+    assert model.exp_basis.shape == (V, 3, K_EXP)
+    assert model.tris.shape == (70, 3)
+    assert model.landmark_idx.shape == (68,)
+
+    # reference math (facemodel.py:15-40 + forward geometry):
+    #   geo = (id*sig_id) @ (b_shape[:K]/1e5) + (exp*sig_exp) @ (b_exp/1e5)
+    #         + centered(mu_shape + mu_exp)/1e5
+    idp = rng.normal(0, 1.0, K_ID)
+    expp = rng.normal(0, 1.0, K_EXP)
+    mu = (info["mu_shape"] + info["mu_exp"]).reshape(V, 3)
+    mu = mu - mu.mean(0, keepdims=True)
+    ref = (mu / 1e5
+           + ((idp * info["sig_shape"][:K_ID])
+              @ info["b_shape"][:K_ID] / 1e5).reshape(V, 3)
+           + ((expp * info["sig_exp"][:K_EXP])
+              @ info["b_exp"][:K_EXP] / 1e5).reshape(V, 3))
+    ours = np.asarray(geometry(model, idp.astype(np.float32),
+                               expp.astype(np.float32)))
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=1e-7)
+
+    # texture: (mu_tex + (tex*sig_tex) @ b_tex) / 255 clipped to [0,1]
+    texp = rng.normal(0, 0.1, K_TEX)
+    ref_t = np.clip((info["mu_tex"]
+                     + (texp * info["sig_tex"]) @ info["b_tex"]
+                     ).reshape(V, 3) / 255.0, 0, 1)
+    ours_t = np.asarray(texture(model, texp.astype(np.float32)))
+    np.testing.assert_allclose(ours_t, ref_t, rtol=2e-4, atol=2e-5)
