@@ -126,6 +126,49 @@ def load_model(path: str) -> MorphableModel:
         rigid_idx=d["rigid_idx"].astype(np.int32))
 
 
+def convert_bfm_mat(model_dir: str) -> str:
+    """Build ``3DMM_info.npy`` from the raw BFM-2009 release — the
+    reference's convert_BFM.py step (license-gated download; place
+    ``01_MorphableModel.mat`` plus the AD-NeRF ``exp_info.npy`` /
+    ``topology_info.npy`` in ``model_dir``).
+
+    Layout per convert_BFM.py:9-44: bases reshape ``[3V, 199]`` ->
+    ``[199, V, 3]``, restrict to ``topology_info['sub_inds']``, flatten back
+    to ``[199, 3V']``; expression fields copied from exp_info.npy.
+    """
+    import os
+
+    from scipy.io import loadmat
+
+    bfm = loadmat(os.path.join(model_dir, "01_MorphableModel.mat"))
+    topo = np.load(os.path.join(model_dir, "topology_info.npy"),
+                   allow_pickle=True).item()
+    sub_inds = topo["sub_inds"]
+
+    def sub_basis(pc):
+        b = pc.reshape(-1, 199).transpose(1, 0).reshape(199, -1, 3)
+        return b[:, sub_inds, :].reshape(199, -1)
+
+    def sub_mean(mu):
+        return mu.reshape(-1, 3)[sub_inds, :].reshape(-1)
+
+    exp_info = np.load(os.path.join(model_dir, "exp_info.npy"),
+                       allow_pickle=True).item()
+    out = os.path.join(model_dir, "3DMM_info.npy")
+    np.save(out, {
+        "mu_shape": sub_mean(bfm["shapeMU"]),
+        "b_shape": sub_basis(bfm["shapePC"]),
+        "sig_shape": bfm["shapeEV"].reshape(-1),
+        "mu_exp": exp_info["mu_exp"],
+        "b_exp": exp_info["base_exp"],
+        "sig_exp": exp_info["sig_exp"],
+        "mu_tex": sub_mean(bfm["texMU"]),
+        "b_tex": sub_basis(bfm["texPC"]),
+        "sig_tex": bfm["texEV"].reshape(-1),
+    })
+    return out
+
+
 def convert_bfm_info(model_dir: str, out_path: str,
                      n_id: int = 100, n_exp: int = 79,
                      n_tex: int = 100) -> str:

@@ -220,3 +220,42 @@ def convert_reference_checkpoint(in_path: str, out_path: str, kind: str,
                       max_sh_degree=conv["state"]["max_sh_degree"])
     save_bundle(out_path, bundle)
     return out_path
+
+
+def convert_ave_encoder(state_dict,
+                        out_path: str = "weights/ave_encoder.npz") -> str:
+    """SyncTalk ``audio_visual_encoder.pth`` -> our flax AudioEncoder .npz
+    (the AVE mel encoder, reference scene/motion_net.py:100-129: 13
+    Conv2d+BatchNorm blocks under ``audio_encoder.{i}.conv_block.{0,1}``).
+
+    Output keys follow flax flatten_dict(sep="/") over the AudioEncoder
+    variables, which is exactly what data_utils.audio_features.extract_ave
+    loads (INSTAG_AVE_WEIGHTS).
+    """
+    import os
+
+    def npy(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") \
+            else np.asarray(v)
+
+    # tolerate a wrapping module prefix (checkpoints sometimes carry
+    # e.g. "model.audio_encoder....")
+    sd = {}
+    for k, v in state_dict.items():
+        pos = k.find("audio_encoder.")
+        if pos >= 0:
+            sd[k[pos + len("audio_encoder."):]] = v
+    out = {}
+    for i in range(13):
+        w = npy(sd[f"{i}.conv_block.0.weight"])      # [O, I, kh, kw]
+        out[f"params/block_{i}/conv/kernel"] = w.transpose(2, 3, 1, 0)
+        out[f"params/block_{i}/conv/bias"] = npy(sd[f"{i}.conv_block.0.bias"])
+        out[f"params/block_{i}/bn/scale"] = npy(sd[f"{i}.conv_block.1.weight"])
+        out[f"params/block_{i}/bn/bias"] = npy(sd[f"{i}.conv_block.1.bias"])
+        out[f"batch_stats/block_{i}/bn/mean"] = npy(
+            sd[f"{i}.conv_block.1.running_mean"])
+        out[f"batch_stats/block_{i}/bn/var"] = npy(
+            sd[f"{i}.conv_block.1.running_var"])
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    np.savez(out_path, **out)
+    return out_path

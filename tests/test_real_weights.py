@@ -1,0 +1,125 @@
+"""Real-external-weights smoke suite (VERDICT r2 item 8).
+
+Every external-model loader in the repo ships a documented fallback because
+this image has zero network egress. On a machine where
+``scripts/fetch_weights.sh`` has run, these tests exercise the REAL-weights
+branch of each loader end-to-end; without the files they skip (never fail),
+so CI stays green everywhere while a weights-mounted machine proves the
+real paths work.
+
+    python -m pytest tests/test_real_weights.py -m realweights -v
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.realweights
+
+W = os.path.join(os.path.dirname(__file__), "..", "weights")
+
+
+def _need(path):
+    p = os.path.join(W, path)
+    if not os.path.exists(p):
+        pytest.skip(f"weights/{path} not present (run scripts/fetch_weights.sh)")
+    return p
+
+
+def test_lpips_real_weights():
+    os.environ["INSTAG_LPIPS_WEIGHTS"] = _need("lpips_alex.npz")
+    from instag_tpu.models.lpips import load_lpips_params
+    import jax.numpy as jnp
+    model, params, real = load_lpips_params()
+    assert real, "loader fell back despite weights present"
+    a = jnp.zeros((1, 3, 64, 64))
+    b = jnp.ones((1, 3, 64, 64)) * 0.5
+    d_same = float(model.apply(params, a, a)[0])
+    d_diff = float(model.apply(params, a, b)[0])
+    assert d_same < 1e-5 < d_diff  # identical -> ~0, different -> positive
+
+
+def test_bisenet_real_checkpoint(tmp_path):
+    os.environ["INSTAG_BISENET_WEIGHTS"] = _need("79999_iter.pth")
+    import cv2
+
+    from instag_tpu.data_utils.face_parsing import run_parsing
+    ori = tmp_path / "ori_imgs"
+    ori.mkdir()
+    img = (np.random.default_rng(0).uniform(0, 255, (128, 128, 3))
+           ).astype(np.uint8)
+    cv2.imwrite(str(ori / "0.jpg"), img)
+    run_parsing(str(ori), str(tmp_path / "parsing"))
+    seg = cv2.imread(str(tmp_path / "parsing" / "0.png"))
+    assert seg is not None and seg.shape == (128, 128, 3)
+
+
+def test_ave_real_encoder():
+    os.environ["INSTAG_AVE_WEIGHTS"] = _need("ave_encoder.npz")
+    import tempfile
+
+    from instag_tpu.data_utils.audio_features import extract_ave
+    wav = (0.1 * np.sin(np.linspace(0, 800, 16000))).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        import soundfile  # noqa: F401  (or scipy fallback inside load_wav)
+        p = os.path.join(d, "aud.wav")
+        from scipy.io import wavfile
+        wavfile.write(p, 16000, (wav * 32767).astype(np.int16))
+        out = os.path.join(d, "aud_ave.npy")
+        extract_ave(p, out)
+        feats = np.load(out)
+        assert feats.shape[1:] == (512, 1) and np.isfinite(feats).all()
+
+
+def test_deepspeech_real_graph():
+    pb = os.path.join(W, "deepspeech-0.1.0", "output_graph.pb")
+    if not os.path.exists(pb):
+        pytest.skip("DeepSpeech graph not present")
+    pytest.importorskip("tensorflow")
+    os.environ["DEEPSPEECH_PB"] = pb
+    import tempfile
+
+    from instag_tpu.data_utils.audio_features import _extract_deepspeech_tf
+    wav = (0.1 * np.sin(np.linspace(0, 800, 32000))).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        from scipy.io import wavfile
+        p = os.path.join(d, "aud.wav")
+        wavfile.write(p, 16000, (wav * 32767).astype(np.int16))
+        out = os.path.join(d, "aud_ds.npy")
+        _extract_deepspeech_tf(p, out, pb)
+        feats = np.load(out)
+        assert feats.shape[1:] == (16, 29) and np.isfinite(feats).all()
+
+
+def test_sapiens_real_models(tmp_path):
+    os.environ["INSTAG_SAPIENS_DEPTH"] = _need("sapiens_0.3b_depth.pt2")
+    os.environ["INSTAG_SAPIENS_NORMAL"] = _need("sapiens_0.3b_normal.pt2")
+    import cv2
+
+    from instag_tpu.data_utils.priors import run_sapiens
+    gt = tmp_path / "gt_imgs"
+    gt.mkdir()
+    img = (np.random.default_rng(0).uniform(0, 255, (256, 256, 3))
+           ).astype(np.uint8)
+    cv2.imwrite(str(gt / "0.jpg"), img)
+    run_sapiens(str(tmp_path), max_frames=1)
+    depth = np.load(tmp_path / "sapiens/depth/sapiens_0.3b/0.npy")
+    normal = np.load(tmp_path / "sapiens/normal/sapiens_0.3b/0.npy")
+    assert depth.shape == (256, 256)
+    assert normal.shape == (256, 256, 3)
+    assert np.isfinite(depth).all() and np.isfinite(normal).all()
+
+
+def test_bfm_real_basis():
+    npz = os.path.join(W, "bfm2009.npz")
+    if not os.path.exists(npz):
+        pytest.skip("converted BFM basis not present (license-gated)")
+    from instag_tpu.data_utils.face_model import geometry, load_model
+    model = load_model(npz)
+    assert model.id_basis.shape[-1] == 100
+    assert model.exp_basis.shape[-1] == 79
+    geo = np.asarray(geometry(model, np.zeros(100, np.float32),
+                              np.zeros(79, np.float32)))
+    # facemodel.py normalization: mean-centered, /1e5 -> head-sized units
+    assert abs(geo.mean()) < 1e-3 and 0.01 < np.abs(geo).max() < 10.0

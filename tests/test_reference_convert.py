@@ -397,3 +397,71 @@ def test_full_frame_render_parity():
     assert agreement_db > 45.0, (mae, agreement_db)
     np.testing.assert_allclose(np.asarray(mr.out.alpha), np.asarray(alp_ref),
                                atol=5e-3)
+
+
+class _TorchWav2LipConv(tnn.Module):
+    """wav2lip Conv2d wrapper (reference scene/motion_net.py:8-25)."""
+
+    def __init__(self, cin, cout, k, s, p, residual=False):
+        super().__init__()
+        self.conv_block = tnn.Sequential(
+            tnn.Conv2d(cin, cout, k, s, p), tnn.BatchNorm2d(cout))
+        self.residual = residual
+
+    def forward(self, x):
+        out = self.conv_block(x)
+        if self.residual:
+            out = out + x
+        return torch.relu(out)
+
+
+def test_ave_encoder_converter_matches_torch():
+    """convert_ave_encoder: SyncTalk AudioEncoder (13 Conv+BN blocks,
+    scene/motion_net.py:100-127) with random weights -> our flax
+    AudioEncoder through the converted npz must match the torch forward."""
+    import tempfile
+
+    from instag_tpu.io.reference_convert import convert_ave_encoder
+    from instag_tpu.models.nets import AudioEncoder
+
+    specs = [(1, 32, 1, (1, 1), False), (32, 32, 1, (1, 1), True),
+             (32, 32, 1, (1, 1), True), (32, 64, 1, (3, 1), False),
+             (64, 64, 1, (1, 1), True), (64, 64, 1, (1, 1), True),
+             (64, 128, 1, (3, 3), False), (128, 128, 1, (1, 1), True),
+             (128, 128, 1, (1, 1), True), (128, 256, 1, (3, 2), False),
+             (256, 256, 1, (1, 1), True), (256, 512, 0, (1, 1), False),
+             (512, 512, 0, (1, 1), False)]
+    torch.manual_seed(5)
+    blocks = []
+    for i, (ci, co, p, s, res) in enumerate(specs):
+        k = 1 if i == 12 else 3
+        b = _TorchWav2LipConv(ci, co, k, s, p, res)
+        # randomize BN stats so the conversion is actually exercised
+        b.conv_block[1].running_mean.normal_(0, 0.1)
+        b.conv_block[1].running_var.uniform_(0.5, 1.5)
+        blocks.append(b)
+    tenc = tnn.Sequential(*blocks).eval()
+    sd = {f"audio_encoder.{k}": v for k, v in tenc.state_dict().items()}
+
+    mel = torch.randn(2, 1, 80, 16)
+    with torch.no_grad():
+        want = tenc(mel).squeeze(-1).squeeze(-1).numpy()
+
+    with tempfile.TemporaryDirectory() as d:
+        path = convert_ave_encoder(sd, f"{d}/ave.npz")
+        data = np.load(path)
+        import flax
+        enc = AudioEncoder()
+        x = jnp.asarray(mel.numpy()).transpose(0, 2, 3, 1)  # NCHW -> NHWC
+        variables = enc.init(jax.random.key(0), x)
+        flat = flax.traverse_util.flatten_dict(
+            flax.core.unfreeze(variables), sep="/")
+        hit = 0
+        for k in list(flat.keys()):
+            if k in data:
+                flat[k] = jnp.asarray(data[k])
+                hit += 1
+        assert hit == len(data.files), (hit, len(data.files))
+        variables = flax.traverse_util.unflatten_dict(flat, sep="/")
+        got = np.asarray(enc.apply(variables, x))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
