@@ -35,8 +35,10 @@ from ..models.gaussians import GaussianParams, GaussianState
 def save_gaussian_ply(path: str, state: GaussianState) -> None:
     """Write alive slots in the reference PLY attribute layout."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    alive = np.asarray(state.alive)
-    p = jax.tree.map(lambda x: np.asarray(x)[alive], state.params)
+    # one batched device->host transfer (per-leaf np.asarray would pay a
+    # blocking tunnel round trip per attribute)
+    params_np, alive = jax.device_get((state.params, state.alive))
+    p = jax.tree.map(lambda x: x[alive], params_np)
     n = p.xyz.shape[0]
 
     names = ["x", "y", "z", "nx", "ny", "nz"]
@@ -104,6 +106,7 @@ def load_gaussian_ply(path: str, capacity: int,
 
 def state_to_dict(state: GaussianState) -> dict:
     """GaussianState -> plain numpy dict (for bundles)."""
+    state = jax.device_get(state)          # one batched transfer
     return {
         "params": {k: np.asarray(getattr(state.params, k))
                    for k in state.params.__dataclass_fields__},
@@ -139,6 +142,7 @@ def save_bundle(path: str, bundle: dict) -> None:
     to state-dicts; rebuild them at load time with ``restore_like``.
     """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    bundle = jax.device_get(bundle)        # one batched transfer
     def to_host(x):
         if isinstance(x, (jnp.ndarray, np.ndarray, np.generic)):
             return np.asarray(x)

@@ -135,7 +135,14 @@ def project_gaussians(cfg: RasterizeConfig, means3d, scales, rotations,
     phx = mx * Pm[0, 0] + my * Pm[1, 0] + mz * Pm[2, 0] + Pm[3, 0]
     phy = mx * Pm[0, 1] + my * Pm[1, 1] + mz * Pm[2, 1] + Pm[3, 1]
     phw = mx * Pm[0, 3] + my * Pm[1, 3] + mz * Pm[2, 3] + Pm[3, 3]
-    p_w = 1.0 / (phw + 1e-7)
+    # sign-preserving clamp: a splat crossing the camera plane can make
+    # phw + 1e-7 exactly 0 (f32) -> inf px -> NaN leaking through the
+    # zero-cotangent backward of the compiled graph even though the splat
+    # is culled. Visible splats (tz > depth_cull) never hit the clamp.
+    denom = phw + 1e-7
+    denom = jnp.where(jnp.abs(denom) < 1e-6,
+                      jnp.where(denom < 0, -1e-6, 1e-6), denom)
+    p_w = 1.0 / denom
 
     # ndc -> pixel: ((v + 1) * S - 1) * 0.5  (CUDA ndc2Pix)
     px = ((phx * p_w + 1.0) * W - 1.0) * 0.5
@@ -165,8 +172,14 @@ def project_gaussians(cfg: RasterizeConfig, means3d, scales, rotations,
     c02 = R00 * R20 * s0 + R01 * R21 * s1 + R02 * R22 * s2
     c12 = R10 * R20 * s0 + R11 * R21 * s1 + R12 * R22 * s2
 
-    # EWA projection: clamp view-space angles to 1.3 * fov
-    safe_tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    # EWA projection: clamp view-space angles to 1.3 * fov.
+    # tz clamps at the near-cull depth, NOT at eps: the CUDA kernel never
+    # evaluates the EWA for culled splats (p_view.z <= 0.2, forward.cu), and
+    # at tz -> 0 the focal/tz^2 Jacobian terms overflow f32 (a*c ~ 1e40),
+    # making det = inf - inf = NaN — which then leaks through the 0-cotangent
+    # backward of the fused graph (0 * NaN = NaN) into EVERY parameter. For
+    # visible splats (tz > depth_cull) the math is bit-identical.
+    safe_tz = jnp.maximum(tz, cfg.depth_cull)
     limx, limy = 1.3 * tanfovx, 1.3 * tanfovy
     txz = jnp.clip(pvx / safe_tz, -limx, limx) * safe_tz
     tyz = jnp.clip(pvy / safe_tz, -limy, limy) * safe_tz

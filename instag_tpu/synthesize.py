@@ -115,6 +115,7 @@ def export_deformed_plys(cfg: RasterizeConfig, model_cfg: ModelConfig,
     face_pmf_net = PersonalizedMotionNetwork("face", model_cfg.audio_extractor,
                                              onehot=False)
     face_state: G.GaussianState = fuse_bundle["face_state"]
+    nf = min(n_frames, batch.num_frames)
 
     @jax.jit
     def deformed(i):
@@ -129,9 +130,13 @@ def export_deformed_plys(cfg: RasterizeConfig, model_cfg: ModelConfig,
             d_xyz = d_xyz + p["d_xyz"]
         return xyz0 + d_xyz * p["p_scale"]
 
-    for i in range(min(n_frames, batch.num_frames)):
-        st = face_state.replace(
-            params=face_state.params.replace(xyz=deformed(i)))
+    # all frames in one program + ONE host fetch (the per-frame fetch of a
+    # full padded state is ~30 MB of tunnel traffic each)
+    all_xyz, host_state = jax.device_get(
+        (jax.jit(jax.vmap(deformed))(jnp.arange(nf)), face_state))
+    for i in range(nf):
+        st = host_state.replace(
+            params=host_state.params.replace(xyz=all_xyz[i]))
         save_gaussian_ply(os.path.join(out_dir, f"deformed_{i}.ply"), st)
 
 

@@ -526,7 +526,10 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                                idx_arr,
                                jnp.asarray(its_arr, jnp.int32), flags,
                                jnp.asarray(patch_arr, jnp.int32))
-        losses.extend(np.asarray(block_losses)[:n].tolist())
+        # keep losses un-materialized: fetching them would block on the
+        # device every block; the host instead runs ahead preparing and
+        # dispatching the next block (materialized only at log points)
+        losses.append(block_losses[:n])
         it = block_end + 1
         end = block_end
 
@@ -554,8 +557,10 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         if end % log_every < n:
             dropped = int(state.dropped_children)
             sat = _tile_saturation(cfg, state, blk_batch, last_idx)
+            recent = np.concatenate([np.asarray(b) for b in
+                                     losses[-max(1, log_every // interval):]])
             print(f"[face {end}/{iterations}] loss="
-                  f"{np.mean(losses[-min(log_every, len(losses)):]):.4f} "
+                  f"{recent[-log_every:].mean():.4f} "
                   f"pts={int(state.num_alive())} "
                   + (f"capacity_dropped={dropped} " if dropped else "")
                   + (f"tile_sat={sat*100:.1f}% " if sat > 0 else "")
@@ -567,6 +572,8 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             print(f"[face eval {end}] " + " ".join(
                 f"{k}={v:.3f}" for k, v in scores.items()), flush=True)
 
+    losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
+        if losses else []
     return dict(state=state, gopt=gopt, umf_params=umf_params,
                 umf_opt_state=umf_opt_state, pmf_params=pmf_params,
                 pmf_opt_state=pmf_opt_state, losses=losses,

@@ -218,13 +218,17 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             batch, jnp.asarray(idxs, jnp.int32), jnp.asarray(steps, jnp.int32),
             jnp.asarray(pidx, jnp.int32), jnp.asarray(ul, jnp.float32),
             jnp.asarray(valid, jnp.float32))
-        losses.extend(np.asarray(block_losses)[:n].tolist())
+        losses.append(block_losses[:n])    # lazy (see train/face.py)
         it = block_end + 1
         if block_end % log_every < n:
+            recent = np.concatenate([np.asarray(b) for b in
+                                     losses[-max(1, log_every // block_len):]])
             print(f"[fuse {block_end}/{iterations}] "
-                  f"loss={np.mean(losses[-min(log_every, len(losses)):]):.4f} "
+                  f"loss={recent[-log_every:].mean():.4f} "
                   f"t={time.time()-t0:.0f}s", flush=True)
 
+    losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
+        if losses else []
     return dict(face_state=face_state, mouth_state=mouth_state,
                 face_umf_params=face_bundle["umf_params"],
                 mouth_umf_params=mouth_bundle["umf_params"],

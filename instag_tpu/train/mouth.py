@@ -303,7 +303,7 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             pmf_opt_state, face_state, face_umf_params, blk_batch,
             idx_arr, jnp.asarray(its_arr, jnp.int32),
             jnp.asarray(ks, jnp.int32), flags)
-        losses.extend(np.asarray(block_losses)[:n].tolist())
+        losses.append(block_losses[:n])    # lazy (see train/face.py)
         it = block_end + 1
         end = block_end
 
@@ -325,11 +325,15 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             state, gopt = G.reset_opacity(state, gopt)
 
         if end % log_every < n:
+            recent = np.concatenate([np.asarray(b) for b in
+                                     losses[-max(1, log_every // interval):]])
             print(f"[mouth {end}/{iterations}] loss="
-                  f"{np.mean(losses[-min(log_every, len(losses)):]):.4f} "
+                  f"{recent[-log_every:].mean():.4f} "
                   f"pts={int(state.num_alive())} t={time.time()-t0:.0f}s",
                   flush=True)
 
+    losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
+        if losses else []
     return dict(state=state, gopt=gopt, umf_params=umf_params,
                 umf_opt_state=umf_opt_state, pmf_params=pmf_params,
                 pmf_opt_state=pmf_opt_state, losses=losses, cfg=cfg,

@@ -223,3 +223,41 @@ def test_deepspeech_surrogate_contract(tmp_path):
     assert win.shape[1:] == (16, 29)            # reference window contract
     assert win.shape[0] == 50                   # 25 fps * 2 s video frames
     assert np.isfinite(win).all()
+
+
+def test_asr_streamer_file_mode(tmp_path):
+    """Chunked streaming frontend (reference data_utils/wav2vec.py ASR):
+    file mode with an injected surrogate CTC produces the [8, D, 16]
+    renderer windows and an offline-contract save path."""
+    import numpy as np
+    from scipy.io import wavfile
+    from instag_tpu.data_utils.wav2vec_stream import ASRStreamer
+
+    sr = 16000
+    wav = (0.2 * np.sin(np.linspace(0, 600, 2 * sr))).astype(np.float32)
+    p = tmp_path / "a.wav"
+    wavfile.write(p, sr, (wav * 32767).astype(np.int16))
+
+    def surrogate_logits(x):
+        # 1 frame per 20ms chunk, deterministic in the audio content
+        n = len(x) // 320
+        t = x[: n * 320].reshape(n, 320)
+        return np.stack([t.mean(1), t.std(1), np.abs(t).max(1)], 1).repeat(
+            15, axis=1)[:, :44]
+
+    s = ASRStreamer(str(p), logits_fn=surrogate_logits, audio_dim=44,
+                    save_feats=True)
+    feats = []
+    for _ in range(120):
+        s.run_step()
+        feats.append(s.get_next_feat())
+        if s.terminated:
+            break
+    assert s.terminated
+    arr = np.stack(feats)
+    assert arr.shape[1:] == (8, 44, 16)
+    assert np.isfinite(arr).all()
+    # ring buffer actually carries signal (not all zeros after warmup)
+    assert np.abs(arr[20:]).max() > 0
+    wins = s.saved_windows()
+    assert wins.shape[1:] == (16, 44)

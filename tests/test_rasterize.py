@@ -207,3 +207,31 @@ def test_approx_topk_close_to_exact():
             bg).image)
     err = np.abs(imgs[True] - imgs[False]).mean()
     assert err < 5e-3, f"approx selection deviates: mean |err|={err}"
+
+
+def test_camera_plane_crossing_grads_finite():
+    """A splat exactly ON the camera plane (view z = 0, phw ~ 0) must not
+    poison gradients: at tz -> 0 the EWA focal/tz^2 terms overflow f32
+    (det = inf - inf = NaN) and the NaN leaks through zero cotangents of
+    the COMPILED backward (0 * NaN = NaN) into every parameter — observed
+    live as a whole-run NaN in pre-training. The fix clamps the EWA tz at
+    the CUDA cull depth (forward.cu evaluates no cov for p_view.z <= 0.2),
+    bit-identical for every visible splat."""
+    H = W = 32
+    cfg = RasterizeConfig(H, W, max_per_tile=32, tile_chunk=4)
+    view, full, campos, tanfov = make_camera(H, W)
+    means, opac, scales, rots, shs = make_scene(n=16)
+    bg = jnp.zeros(3)
+
+    def loss(m):
+        out = rasterize(cfg, m, opac, scales, rots, view, full, campos,
+                        tanfov, tanfov, bg, shs=shs, sh_degree=1)
+        return jnp.mean(out.image ** 2)
+
+    gfn = jax.jit(jax.value_and_grad(loss))
+    # camera sits at view z=0 plane <-> world z = -2 for this camera
+    for z in (-2.0, -2.0000001, -1.9999999, -1.99):
+        m2 = means.at[0].set(jnp.array([0.05, 0.05, z]))
+        l, g = gfn(m2)
+        assert np.isfinite(float(l))
+        assert np.isfinite(np.asarray(g)).all(), f"NaN grad at z={z}"
