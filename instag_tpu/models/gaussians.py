@@ -93,8 +93,8 @@ class GaussianState:
         return jax.nn.sigmoid(self.params.opacity)
 
     def get_rotation(self):
-        q = self.params.rotation
-        return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        from ..utils.general import safe_normalize
+        return safe_normalize(self.params.rotation)  # NaN-free grad at q=0
 
     def get_features(self):
         return jnp.concatenate([self.params.features_dc,
@@ -320,8 +320,8 @@ def densify_and_prune(state: GaussianState, opt: AdamState, key: jax.Array,
 
     # ---- split: large high-grad points -> 2 resampled children (:625-649)
     sel_split = (grads >= max_grad) & (max_scale > percent_dense * extent) & state.alive
-    R = quat_to_rotmat(p.rotation / jnp.maximum(
-        jnp.linalg.norm(p.rotation, axis=-1, keepdims=True), 1e-12))
+    from ..utils.general import safe_normalize
+    R = quat_to_rotmat(safe_normalize(p.rotation))
     new_scaling = softplus_inverse(jnp.maximum(scal / (0.8 * 2), 1e-6))
 
     for j in range(2):

@@ -149,9 +149,11 @@ def project_gaussians(cfg: RasterizeConfig, means3d, scales, rotations,
     py = ((phy * p_w + 1.0) * H - 1.0) * 0.5
     tz = pvz
 
-    # Rotation entries from the normalized quaternion (w, x, y, z)
-    qn = rotations / jnp.maximum(
-        jnp.sqrt(jnp.sum(rotations * rotations, -1, keepdims=True)), 1e-12)
+    # Rotation entries from the normalized quaternion (w, x, y, z).
+    # safe form: gradient is 0 (not NaN) for the zero quats of dead padded
+    # slots (see utils.general.safe_normalize)
+    qn = rotations / jnp.sqrt(
+        jnp.sum(rotations * rotations, -1, keepdims=True) + 1e-24)
     qr, qx, qy, qz = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
     R00 = 1 - 2 * (qy * qy + qz * qz)
     R01 = 2 * (qx * qy - qr * qz)
@@ -651,5 +653,6 @@ def sh_colors(means3d, campos, shs, sh_degree: int):
     """SH -> clamped RGB at per-splat view directions (in-kernel SH of the
     CUDA rasterizer; clamp convention utils/sh_utils mirror)."""
     dirs = means3d - campos[None, :]
-    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+    # sqrt(.+eps^2): NaN-free gradient if a splat lands exactly on campos
+    dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, -1, keepdims=True) + 1e-16)
     return jnp.maximum(eval_sh(sh_degree, jnp.swapaxes(shs, -1, -2), dirs) + 0.5, 0.0)

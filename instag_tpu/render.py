@@ -32,6 +32,7 @@ from flax import struct
 from .models.gaussians import GaussianState
 from .ops.rasterize import (RasterizeConfig, RasterizeOutput,
                             composite_prepared, prepare, rasterize, sh_colors)
+from .utils.general import safe_normalize
 
 
 @struct.dataclass
@@ -129,8 +130,10 @@ def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
     opacity = state.get_opacity()
     scales = jax.nn.softplus(state.params.scaling + d_scale)
     rot_raw = state.params.rotation + d_rot
-    rotations = rot_raw / jnp.maximum(
-        jnp.linalg.norm(rot_raw, axis=-1, keepdims=True), 1e-12)
+    # safe_normalize: a NaN-free gradient at ||q|| -> 0 — raw + d_rot CAN
+    # cross zero during training and the maximum(norm, eps) idiom emits
+    # NaN cotangents there (see utils.general.safe_normalize)
+    rotations = safe_normalize(rot_raw)
 
     # one shared projection + tile selection feeds the main composite and
     # the (detached) attention-map composites — the reference re-rasterizes

@@ -31,8 +31,22 @@ def expon_lr(step, lr_init, lr_final, lr_delay_steps=0, lr_delay_mult=1.0,
     return jnp.where(valid, lr, 0.0)
 
 
+def safe_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """L2-normalize with a NaN-free gradient at x = 0.
+
+    The ``x / maximum(norm(x), eps)`` idiom is NOT safe: at x = 0 the
+    ``maximum`` picks the constant branch (zero cotangent into the sqrt),
+    but sqrt's own vjp is g * 0.5/sqrt(0) = g * inf, and 0 * inf = NaN.
+    Every zero-padded dead slot then emits NaN gradients each step, and an
+    alive quaternion whose raw value crosses ~0 poisons the whole model
+    (observed live: pre-training NaN collapse via the d_rot head).
+    ``sqrt(sum(x^2) + eps^2)`` has gradient x/sqrt(...) -> 0 at x = 0.
+    """
+    return x / jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + eps * eps)
+
+
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    return safe_normalize(q, eps)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:

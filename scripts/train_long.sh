@@ -17,16 +17,22 @@ fi
 python -m instag_tpu.cli.train_face \
     --source_path "$DATA" --model_path "$OUT" \
     --audio_extractor "$EXTRACTOR" --type face \
-    --init_num 1000 --N_views -1 --iterations 10000 --long $FACE_PRE
+    --init_num 2000 --densify_grad_threshold 0.0005 \
+    --N_views -1 --iterations 10000 --long $FACE_PRE
 
 python -m instag_tpu.cli.train_mouth \
     --source_path "$DATA" --model_path "$OUT" \
     --audio_extractor "$EXTRACTOR" --type mouth \
-    --init_num 1000 --N_views -1 --iterations 10000 --long $MOUTH_PRE
+    --init_num 5000 --N_views -1 --iterations 10000 --long $MOUTH_PRE
 
 python -m instag_tpu.cli.train_fuse_con \
     --source_path "$DATA" --model_path "$OUT" \
-    --audio_extractor "$EXTRACTOR" --iterations 2000
+    --audio_extractor "$EXTRACTOR" --iterations 2000 \
+    --opacity_lr 0.001
 
 python -m instag_tpu.cli.synthesize_fuse \
     --source_path "$DATA" --model_path "$OUT" --dilate
+
+# close the eval loop (train_xx_long.sh last line)
+python -m instag_tpu.cli.metrics \
+    --pred "$OUT/out.mp4" --gt "$OUT/gt.mp4"

@@ -188,3 +188,41 @@ def test_capacity_drop_counter():
     # 14 clones wanted, 2 free slots -> 12 dropped
     assert int(new.dropped_children) == 12
     assert int(new.num_alive()) == 16
+
+
+def test_zero_quaternion_grads_finite():
+    """Dead padded slots carry q = 0; the maximum(norm, eps) normalize
+    idiom emits NaN cotangents there (sqrt vjp at 0 is inf; 0 * inf = NaN)
+    which poisoned Adam moments every step and collapsed pre-training when
+    an ALIVE quaternion crossed ~0 (observed live). safe_normalize must
+    give finite (zero) gradients at q = 0 and exact values elsewhere."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from instag_tpu.utils.general import safe_normalize
+
+    q = jnp.array([[0.0, 0.0, 0.0, 0.0],
+                   [1e-20, 0.0, 0.0, 0.0],
+                   [1.0, 0.5, -0.5, 0.25]])
+
+    def f(q):
+        return jnp.sum(safe_normalize(q) ** 2)
+
+    g = jax.jit(jax.grad(f))(q)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g[0]), 0.0)
+    # unit-ish quats normalize exactly
+    n = np.asarray(safe_normalize(q))[2]
+    np.testing.assert_allclose(np.linalg.norm(n), 1.0, rtol=1e-6)
+
+    # end-to-end: a state whose rotations include exact zeros (dead slots)
+    # must yield finite rotation gradients through get_rotation
+    from instag_tpu.models import gaussians as G
+    st = G.create_from_points(jnp.zeros((4, 3)), jnp.ones((4, 3)) * 0.5,
+                              8, 1, 1.0)
+
+    def loss(params):
+        return jnp.sum(st.replace(params=params).get_rotation() ** 2)
+
+    g = jax.jit(jax.grad(loss))(st.params)
+    assert np.isfinite(np.asarray(g.rotation)).all()
