@@ -109,11 +109,16 @@ class RasterizeOutput(NamedTuple):
 
 def project_gaussians(cfg: RasterizeConfig, means3d, scales, rotations,
                       viewmatrix, projmatrix, campos, tanfovx, tanfovy,
-                      active=None) -> Projected:
+                      active=None, cov3d_precomp=None) -> Projected:
     """Project Gaussians to screen space with EWA covariance.
 
     ``viewmatrix``/``projmatrix`` are stored transposed (row-vector
     convention, scene/cameras.py:61-63): p_view = [p,1] @ viewmatrix.
+
+    ``cov3d_precomp`` [N, 6]: upper-triangular world covariance entries
+    (c00, c01, c02, c11, c12, c22 — the reference's compute_cov3D_python
+    layout, scene/gaussian_model.py:33-41); overrides scales/rotations for
+    the EWA (the diff_gauss ``cov3Ds_precomp`` input, SURVEY.md §2.4).
 
     Fully scalarized: every step is expressed as element-wise math over [N]
     vectors — no [N,3,3] batched matmuls, no scatter updates. TPU lays [N]
@@ -166,13 +171,19 @@ def project_gaussians(cfg: RasterizeConfig, means3d, scales, rotations,
     R22 = 1 - 2 * (qx * qx + qy * qy)
 
     # Sigma = R S^2 R^T: Sigma_ab = sum_j R_aj R_bj s_j^2 (6 unique entries)
-    s0, s1, s2 = scales[:, 0] ** 2, scales[:, 1] ** 2, scales[:, 2] ** 2
-    c00 = R00 * R00 * s0 + R01 * R01 * s1 + R02 * R02 * s2
-    c11 = R10 * R10 * s0 + R11 * R11 * s1 + R12 * R12 * s2
-    c22 = R20 * R20 * s0 + R21 * R21 * s1 + R22 * R22 * s2
-    c01 = R00 * R10 * s0 + R01 * R11 * s1 + R02 * R12 * s2
-    c02 = R00 * R20 * s0 + R01 * R21 * s1 + R02 * R22 * s2
-    c12 = R10 * R20 * s0 + R11 * R21 * s1 + R12 * R22 * s2
+    if cov3d_precomp is not None:
+        c00, c01, c02 = (cov3d_precomp[:, 0], cov3d_precomp[:, 1],
+                         cov3d_precomp[:, 2])
+        c11, c12, c22 = (cov3d_precomp[:, 3], cov3d_precomp[:, 4],
+                         cov3d_precomp[:, 5])
+    else:
+        s0, s1, s2 = scales[:, 0] ** 2, scales[:, 1] ** 2, scales[:, 2] ** 2
+        c00 = R00 * R00 * s0 + R01 * R01 * s1 + R02 * R02 * s2
+        c11 = R10 * R10 * s0 + R11 * R11 * s1 + R12 * R12 * s2
+        c22 = R20 * R20 * s0 + R21 * R21 * s1 + R22 * R22 * s2
+        c01 = R00 * R10 * s0 + R01 * R11 * s1 + R02 * R12 * s2
+        c02 = R00 * R20 * s0 + R01 * R21 * s1 + R02 * R22 * s2
+        c12 = R10 * R20 * s0 + R11 * R21 * s1 + R12 * R22 * s2
 
     # EWA projection: clamp view-space angles to 1.3 * fov.
     # tz clamps at the near-cull depth, NOT at eps: the CUDA kernel never
@@ -309,7 +320,8 @@ def rasterize(cfg: RasterizeConfig,
               colors_precomp: jnp.ndarray | None = None,
               extra_attrs: jnp.ndarray | None = None,
               means2d_offset: jnp.ndarray | None = None,
-              active: jnp.ndarray | None = None) -> RasterizeOutput:
+              active: jnp.ndarray | None = None,
+              cov3d_precomp: jnp.ndarray | None = None) -> RasterizeOutput:
     """Rasterize N Gaussians to an image (SURVEY.md §2.4 contract).
 
     Args:
@@ -329,13 +341,16 @@ def rasterize(cfg: RasterizeConfig,
         position gradients used for densification stats (the reference's
         screenspace_points trick, gaussian_renderer/__init__.py:47-52).
       active: [N] bool liveness mask for padded capacity slots.
+      cov3d_precomp: [N, 6] upper-triangular world covariance, overriding
+        scales/rotations (diff_gauss ``cov3Ds_precomp``, SURVEY.md §2.4).
 
     Returns RasterizeOutput; fully differentiable.
     """
     opac = opacities.reshape(-1)
 
     proj = project_gaussians(cfg, means3d, scales, rotations, viewmatrix,
-                             projmatrix, campos, tanfovx, tanfovy, active)
+                             projmatrix, campos, tanfovx, tanfovy, active,
+                             cov3d_precomp)
     px, py = proj.px, proj.py
     if means2d_offset is not None:
         px = px + means2d_offset[:, 0]

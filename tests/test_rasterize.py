@@ -235,3 +235,34 @@ def test_camera_plane_crossing_grads_finite():
         l, g = gfn(m2)
         assert np.isfinite(float(l))
         assert np.isfinite(np.asarray(g)).all(), f"NaN grad at z={z}"
+
+
+def test_cov3d_precomp_matches_scales_rotations():
+    """The diff_gauss cov3Ds_precomp input (SURVEY.md §2.4; reference
+    scene/gaussian_model.py:33-41 upper-triangular layout) must reproduce
+    the scales+rotations path exactly when fed the equivalent R S^2 R^T."""
+    H = W = 32
+    cfg = RasterizeConfig(H, W, max_per_tile=64, tile_chunk=4,
+                          approx_topk=False)
+    view, full, campos, tanfov = make_camera(H, W)
+    means, opac, scales, rots, shs = make_scene(n=60)
+    bg = jnp.array([0.05, 0.1, 0.15], jnp.float32)
+
+    # build Sigma = R S^2 R^T in the reference's (c00,c01,c02,c11,c12,c22)
+    from instag_tpu.utils.general import quat_to_rotmat, safe_normalize
+    R = np.asarray(quat_to_rotmat(safe_normalize(rots)))       # [N, 3, 3]
+    S2 = np.asarray(scales) ** 2
+    Sig = np.einsum("nij,nj,nkj->nik", R, S2, R)
+    cov6 = jnp.asarray(np.stack([Sig[:, 0, 0], Sig[:, 0, 1], Sig[:, 0, 2],
+                                 Sig[:, 1, 1], Sig[:, 1, 2], Sig[:, 2, 2]],
+                                axis=1).astype(np.float32))
+
+    out_sr = jax.jit(lambda *a: rasterize(cfg, *a, shs=shs, sh_degree=1))(
+        means, opac, scales, rots, view, full, campos, tanfov, tanfov, bg)
+    out_cv = jax.jit(lambda *a: rasterize(
+        cfg, *a, shs=shs, sh_degree=1, cov3d_precomp=cov6))(
+        means, opac, scales, rots, view, full, campos, tanfov, tanfov, bg)
+    np.testing.assert_allclose(np.asarray(out_cv.image),
+                               np.asarray(out_sr.image), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_cv.radii),
+                                  np.asarray(out_sr.radii))
