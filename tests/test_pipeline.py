@@ -110,3 +110,26 @@ def test_checkpoint_roundtrip(model_cfg, face_result, tmp_path):
     leaves2 = jax.tree.leaves(loaded["umf_params"])
     assert len(leaves1) == len(leaves2)
     np.testing.assert_allclose(np.asarray(leaves1[0]), leaves2[0], rtol=1e-6)
+
+
+def test_train_face_data_parallel_on_mesh(model_cfg):
+    """The user-facing --data_parallel path: train_face(data_parallel=4,
+    dp_mesh) runs the FULL trainer loop (curriculum, padded blocks, densify
+    boundaries) with each step's 4-frame batch sharded over the mesh, and
+    training progresses."""
+    from instag_tpu.parallel import make_mesh
+    from instag_tpu.train.face import train_face
+
+    oc = OptimizationConfig(iterations=40, densify_from_iter=15,
+                            densification_interval=20,
+                            opacity_reset_interval=100000,
+                            position_lr_max_steps=40)
+    mesh = make_mesh(4)
+    res = train_face(model_cfg, oc, warm_step=10, log_every=20,
+                     lpips_enabled=False, data_parallel=4, dp_mesh=mesh)
+    losses = np.asarray(res["losses"])
+    assert losses.shape == (40,)
+    assert np.isfinite(losses).all()
+    # later mean-of-4-frames losses should beat the early ones
+    assert losses[-10:].mean() < losses[:10].mean()
+    assert np.isfinite(np.asarray(res["state"].params.xyz)).all()
