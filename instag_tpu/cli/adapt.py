@@ -24,6 +24,125 @@ from ..io.checkpoints import (load_bundle, save_bundle, save_gaussian_ply,
                               state_to_dict)
 
 
+def _warm_stage_compiles(mc, oc, fuse_iterations: int) -> None:
+    """Background thread: AOT-compile the mouth and fuse training blocks
+    with this run's exact shapes while the face stage trains, so the later
+    stages hit the persistent compile cache (~4 s) instead of paying the
+    cold XLA compile (~45-60 s each).
+
+    Builds the same blocks the trainers build (same nets, optimizer
+    schedules, batch shapes and baked constants — these determine the HLO
+    cache key). Any drift from the real trainers is benign: the cache
+    simply misses and the stage compiles exactly as before.
+    """
+    try:
+        import dataclasses
+        import time as _time
+
+        # let the face stage's own (cold) block compile claim the host CPU
+        # first; by now face training is device-bound and the core is idle.
+        # On warm-cache runs these compiles are hits (~seconds) anyway.
+        _time.sleep(90)
+
+        import jax
+        import jax.numpy as jnp
+
+        from ..data.dataset import random_init_points, scene_extent
+        from ..models import gaussians as G
+        from ..models.lpips import load_lpips_params
+        from ..models.motion import (MotionNetwork, MouthMotionNetwork,
+                                     PersonalizedMotionNetwork)
+        from ..ops.rasterize import RasterizeConfig
+        from ..train.common import build_frame_batch, load_training_frames
+        from ..train.fuse import make_fuse_block
+        from ..train.mouth import MouthFlags, make_mouth_block
+        from ..train.optim import pmf_optimizer, umf_optimizer
+
+        records = load_training_frames(mc)
+        if len(records) > 1000:       # streaming shapes differ per block
+            return
+        batch = build_frame_batch(records)
+        _, extent = scene_extent(records)
+        h, w = records[0].height, records[0].width
+        cfg = RasterizeConfig(h, w, max_per_tile=mc.max_per_tile)
+        capacity = mc.resolve_capacity()
+        interval = oc.densification_interval
+
+        def mk_state(seed):
+            xyz, colors = random_init_points(mc.init_num, seed)
+            st = G.create_from_points(jnp.asarray(xyz), jnp.asarray(colors),
+                                      capacity, mc.sh_degree, extent)
+            return st, G.adam_init(st.params)
+
+        # ---- mouth block (mirrors train/mouth.py setup) ----
+        mouth_net = MouthMotionNetwork(mc.audio_extractor)
+        mouth_pmf = PersonalizedMotionNetwork("mouth", mc.audio_extractor)
+        face_net = MotionNetwork(mc.audio_extractor)
+        st, gopt = mk_state(0)
+        k = jax.random.key(0)
+        x0, a0 = st.params.xyz[:8], batch.auds[0]
+        m_umf = jax.jit(mouth_net.init)(k, x0, a0, jnp.zeros((1, 3)))
+        m_pmf = jax.jit(mouth_pmf.init)(k, x0, a0)
+        f_umf = jax.jit(face_net.init)(k, x0, a0, batch.au_exp[0])
+        umf_tx, umf_opt = umf_optimizer(m_umf, total_iters=oc.iterations,
+                                        warm_step=3000, long=False)
+        pmf_tx, pmf_opt = pmf_optimizer(m_pmf)
+        # the face state the mouth trainer freezes has FACE sh_degree (1
+        # unless --long; cli/adapt trains face with max_sh 1)
+        fst = G.create_from_points(st.params.xyz[:mc.init_num] * 1.0,
+                                   jnp.ones((mc.init_num, 3)) * 0.5,
+                                   capacity, 1, extent)
+        blk = make_mouth_block(cfg, oc, mouth_net, mouth_pmf, face_net,
+                               extent, umf_tx, pmf_tx)
+        n = interval
+        flags = MouthFlags(align=jnp.ones((n,), jnp.float32),
+                           use_regs=jnp.ones((n,), jnp.float32),
+                           valid=jnp.ones((n,), jnp.float32))
+        blk.lower(st, gopt, m_umf, umf_opt, m_pmf, pmf_opt, fst, f_umf,
+                  batch, jnp.zeros((n,), jnp.int32),
+                  jnp.arange(1, n + 1, dtype=jnp.int32),
+                  jnp.full((n,), 10, jnp.int32), flags).compile()
+        print("[adapt] warmed mouth-block executable", flush=True)
+
+        # ---- fuse block (mirrors train/fuse.py setup) ----
+        face_net_i = MotionNetwork(mc.audio_extractor, onehot=False)
+        mouth_net_i = MouthMotionNetwork(mc.audio_extractor, onehot=False)
+        face_pmf_i = PersonalizedMotionNetwork("face", mc.audio_extractor,
+                                               onehot=False)
+        mouth_pmf_i = PersonalizedMotionNetwork("mouth", mc.audio_extractor,
+                                                onehot=False)
+        lm, lp, _ = load_lpips_params()
+        lpips_call = lambda a, b: lm.apply(lp, a, b)
+        patch_sizes = tuple(s for s in (32, 36, 40) if s <= min(h, w)) \
+            or (min(h, w),)
+        ocf = dataclasses.replace(oc, iterations=fuse_iterations,
+                                  opacity_lr=1e-3)
+        fblk = make_fuse_block(cfg, ocf, face_net_i, mouth_net_i, face_pmf_i,
+                               mouth_pmf_i, extent, lpips_call, patch_sizes)
+        # fuse consumes the trained face cloud (max_sh 1 in few-shot,
+        # train_face.py:95-96) and the mouth cloud (mc.sh_degree)
+        xyzf, colf = random_init_points(mc.init_num, 1)
+        fst2 = G.create_from_points(jnp.asarray(xyzf), jnp.asarray(colf),
+                                    capacity, 1, extent)
+        fgopt = G.adam_init(fst2.params)
+        mst2, mgopt = mk_state(2)
+        f_umf2 = jax.jit(face_net_i.init)(k, x0, a0, batch.au_exp[0])
+        m_umf2 = jax.jit(mouth_net_i.init)(k, x0, a0, jnp.zeros((1, 3)))
+        f_pmf2 = jax.jit(face_pmf_i.init)(k, x0, a0, batch.au_exp[0])
+        m_pmf2 = jax.jit(mouth_pmf_i.init)(k, x0, a0)
+        bl = 100
+        fblk.lower(fst2, fgopt, mst2, mgopt, f_umf2, m_umf2, f_pmf2, m_pmf2,
+                   batch, jnp.zeros((bl,), jnp.int32),
+                   jnp.arange(1, bl + 1, dtype=jnp.int32),
+                   jnp.zeros((bl,), jnp.int32),
+                   jnp.zeros((bl,), jnp.float32),
+                   jnp.ones((bl,), jnp.float32)).compile()
+        print("[adapt] warmed fuse-block executable", flush=True)
+    except Exception as e:  # warming is best-effort; stages self-compile
+        print(f"[adapt] stage warm-ahead skipped: {type(e).__name__}: {e}",
+              flush=True)
+
+
 def main(argv=None):
     parser = make_parser("Single-process few-shot adaptation")
     parser.add_argument("--long", action="store_true")
@@ -40,6 +159,9 @@ def main(argv=None):
     parser.add_argument("--data_parallel", type=int, default=1,
                         help="frames per face-adaptation optimizer step; "
                              ">1 shards the batch over a 'dp' device mesh")
+    parser.add_argument("--no_warm_ahead", action="store_true",
+                        help="disable background compilation of the mouth/"
+                             "fuse executables during the face stage")
     mc, _, oc, args = parse_all(parser, argv)
     t0 = time.time()
 
@@ -60,6 +182,15 @@ def main(argv=None):
             return None
         b = load_bundle(p)
         return ({"umf_params": b["ema_params"]} if "ema_params" in b else b)
+
+    # overlap the mouth/fuse XLA compiles with the face stage (cold-run
+    # warm-up: each big block costs ~45-60 s to compile; warming populates
+    # the persistent cache so the real stages compile in seconds)
+    if not (args.long or args.no_warm_ahead):
+        import threading
+        threading.Thread(target=_warm_stage_compiles,
+                         args=(mc, oc, args.fuse_iterations),
+                         daemon=True).start()
 
     # ---- face ----
     stage("train_face")
