@@ -595,8 +595,11 @@ def _composite_tiles_pallas(cfg: RasterizeConfig, px, py, proj: Projected,
     if f_pad > F:
         ftiles = jnp.pad(ftiles, ((0, f_pad - F), (0, 0), (0, 0)))
 
+    # per-tile valid counts (valid is a depth-sorted prefix) drive the
+    # kernel's early-exit chunk loop; background tiles become ~free
+    cnt = jnp.sum(valid, axis=-1, dtype=jnp.int32)       # [T]
     static = CompositeStatic(cfg.tile, cfg.tiles_x, n_chan, n_aux, interpret)
-    out = composite_tiles_fused(static, ftiles)          # [T, P, C+2+A]
+    out = composite_tiles_fused(static, ftiles, cnt)     # [T, P, C+2+A]
 
     acc = out[..., :n_chan]
     alpha_out = out[..., n_chan:n_chan + 1]

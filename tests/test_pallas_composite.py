@@ -143,3 +143,53 @@ def test_aux_channels_and_shared_prepare():
     assert float(jnp.abs(gox).sum()) == 0.0
     np.testing.assert_allclose(np.asarray(gap), np.asarray(gax),
                                atol=1e-6, rtol=2e-3)
+
+
+def test_multichunk_and_empty_tiles():
+    """K=256 exercises the 128-lane chunked early-exit path; the splat
+    cluster is confined to one image corner so most tiles carry cnt=0 and
+    must come out exactly equal to the XLA path (bg color, zero grads)."""
+    H = W = 80
+    cfg_x, cfg_p = _cfgs(H, W, max_per_tile=256)
+    view, full, campos, tanfov = make_camera(H, W)
+    rng = np.random.default_rng(21)
+    n = 300
+    # cluster in a corner (world upper-left quadrant) + heavy opacity so
+    # transmittance saturates mid-list inside occupied tiles
+    means = jnp.asarray(
+        np.stack([rng.uniform(-0.45, -0.15, n), rng.uniform(-0.45, -0.15, n),
+                  rng.uniform(-0.1, 0.1, n)], -1).astype(np.float32))
+    scales = jnp.asarray((0.02 + 0.02 * rng.uniform(size=(n, 3))).astype(np.float32))
+    rots = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.7, 0.99, (n, 1)).astype(np.float32))
+    shs = jnp.asarray((0.3 * rng.normal(size=(n, 4, 3))).astype(np.float32))
+    bg = jnp.array([0.1, 0.6, 0.3], jnp.float32)
+    tgt = jnp.asarray(rng.uniform(size=(3, H, W)).astype(np.float32))
+
+    def loss(cfg, m, o, s, r, sh):
+        out = rasterize(cfg, m, o, s, r, view, full, campos, tanfov, tanfov,
+                        bg, shs=sh, sh_degree=1)
+        return (jnp.mean((out.image - tgt) ** 2) + 0.2 * jnp.mean(out.alpha)
+                + 0.05 * jnp.mean(out.depth)), out
+
+    args = (means, opac, scales, rots, shs)
+    (lx, ox), gx = jax.jit(jax.value_and_grad(
+        lambda *a: loss(cfg_x, *a), argnums=range(5), has_aux=True))(*args)
+    (lp, op), gp = jax.jit(jax.value_and_grad(
+        lambda *a: loss(cfg_p, *a), argnums=range(5), has_aux=True))(*args)
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
+    for name in ("image", "depth", "alpha"):
+        np.testing.assert_allclose(np.asarray(getattr(op, name)),
+                                   np.asarray(getattr(ox, name)),
+                                   atol=3e-5, err_msg=name)
+    # empty region must be exactly background
+    np.testing.assert_allclose(
+        np.asarray(op.image[:, -16:, -16:]),
+        np.broadcast_to(np.asarray(bg)[:, None, None], (3, 16, 16)),
+        atol=1e-6)
+    for n_, a, b in zip(["means", "opac", "scales", "rots", "shs"], gx, gp):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all(), n_
+        scale = max(1e-6, np.abs(a).max())
+        np.testing.assert_allclose(b, a, atol=1e-3 * scale, rtol=5e-3,
+                                   err_msg=n_)
