@@ -48,9 +48,9 @@ Feature-row layout ([F, T, K], fields on sublanes, splats on lanes):
   6..6+C-1 composited channels (C=3 light / 8 full: r,g,b,depth,nx,ny,nz,extra),
   then A aux channels, zero-padded to a multiple of 8 rows.
 
-Output-column layout ([T, P, OC], pixels on sublanes):
+Output-row layout (channel-major [T, OC, P], pixels on LANES):
   0..C-1 accumulated channels, C alpha, C+1 T_final, C+2..C+2+A-1 aux,
-  zero-padded to a multiple of 8.
+  OC zero-padded to a multiple of 8.
 """
 
 from __future__ import annotations
@@ -107,18 +107,18 @@ _TILES_PER_STEP = 8  # grid-step batch; keeps block sublane dims 8-aligned
 
 
 def _tri_inclusive(ch: int) -> jnp.ndarray:
-    """[ch, ch] upper-triangular ones (incl. diagonal): x @ T = inclusive
-    prefix sum along lanes, on the MXU."""
+    """[ch, ch] lower-triangular ones (incl. diagonal): T @ x = inclusive
+    prefix sum down the sublane (splat) axis, on the MXU."""
     r = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
-    return (r <= c).astype(jnp.float32)
+    return (r >= c).astype(jnp.float32)
 
 
-def _tri_strict_lower(ch: int) -> jnp.ndarray:
-    """[ch, ch] strict lower ones: x @ L = suffix-exclusive sum Σ_{i>j}."""
+def _tri_strict_upper(ch: int) -> jnp.ndarray:
+    """[ch, ch] strict upper ones: U @ x = suffix-exclusive sum Σ_{i>j}."""
     r = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (ch, ch), 1)
-    return (r > c).astype(jnp.float32)
+    return (r < c).astype(jnp.float32)
 
 
 def _pixel_basis(tile: int) -> jnp.ndarray:
@@ -142,12 +142,15 @@ def _mm(a, b, contract):
                                precision=jax.lax.Precision.HIGHEST)
 
 
-def _alpha_chunk(f, basis, tri_inc, txf, tyf, log_t0):
+def _alpha_chunk(f, basis, eye, tri_inc, txf, tyf, log_t0):
     """Shared fwd/bwd chunk recompute. ``f`` [F, ch] feature rows;
-    ``log_t0`` [P, 1] accumulated log-transmittance entering this chunk.
+    ``log_t0`` [1, P] accumulated log-transmittance entering this chunk.
 
-    The quadratic is evaluated in tile-local coordinates: every coefficient
-    term is bounded by ~cA·(tile+3σ)² ≈ 36 for a splat overlapping the tile
+    All per-(splat, pixel) matrices are [ch, P] — pixels on LANES — so the
+    narrow per-pixel reductions/transcendentals of the [P, ·] orientation
+    (8/128-lane utilization) become full-width [1, P] rows. The quadratic
+    is evaluated in tile-local coordinates: every coefficient term is
+    bounded by ~cA·(tile+3σ)² ≈ 36 for a splat overlapping the tile
     (radius = 3σ_max), so the basis-matmul form loses no f32 precision.
     """
     gx = f[0:1, :] - txf
@@ -160,13 +163,14 @@ def _alpha_chunk(f, basis, tri_inc, txf, tyf, log_t0):
     zero = jnp.zeros_like(gx)
     coef = jnp.concatenate(
         [a0, a1, a2, -0.5 * cA, -cB, -0.5 * cC, zero, zero], axis=0)
-    power = _mm(basis, coef, ((1,), (0,)))            # [P, ch] MXU
-    pre = op * jnp.exp(power)
+    power = _mm(coef, basis, ((0,), (1,)))            # [ch, P] MXU
+    op_c = _mm(eye, op, ((1,), (1,)))                 # [ch, 1] via MXU transpose
+    pre = op_c * jnp.exp(power)
     alpha = jnp.minimum(0.99, pre)
     ok = (power <= 0.0) & (alpha >= _ALPHA_MIN)
     alpha = jnp.where(ok, alpha, 0.0)
     log_t = jnp.log1p(-alpha)
-    cum = _mm(log_t, tri_inc, ((1,), (0,)))           # inclusive prefix, MXU
+    cum = _mm(tri_inc, log_t, ((1,), (0,)))           # inclusive prefix, MXU
     t_incl = jnp.exp(log_t0 + cum)
     contrib = t_incl >= _T_MIN                        # CUDA early-exit prefix
     one_m = 1.0 - alpha                               # >= 0.01 (alpha <= .99)
@@ -174,8 +178,8 @@ def _alpha_chunk(f, basis, tri_inc, txf, tyf, log_t0):
     # two carries: the FULL Σ log(1-α) drives transmittance/contrib in later
     # chunks (matching the XLA prefix cumsum over all K); the contributing-
     # only Σ is what t_final integrates (where(contrib, log_t, 0) in XLA).
-    adv_full = jnp.sum(log_t, axis=1, keepdims=True)
-    adv_contrib = jnp.sum(jnp.where(contrib, log_t, 0.0), axis=1,
+    adv_full = jnp.sum(log_t, axis=0, keepdims=True)            # [1, P]
+    adv_contrib = jnp.sum(jnp.where(contrib, log_t, 0.0), axis=0,
                           keepdims=True)
     return dict(gx=gx, gy=gy, cA=cA, cB=cB, cC=cC, op=op, pre=pre,
                 alpha=alpha, ok=ok, one_m=one_m, t_incl=t_incl,
@@ -191,47 +195,64 @@ def _fwd_kernel(cnt_ref, feats_ref, out_ref, acc_ref, logt_ref, *,
     ch = _chunk(kk)
     n_chunks = kk // ch
     basis = _pixel_basis(tile)
+    eye = jnp.eye(ch, dtype=jnp.float32)
     tri_inc = _tri_inclusive(ch)
     nacc = n_chan + 1 + n_aux
-    nacc_pad = acc_ref.shape[1]
+    nacc_pad = acc_ref.shape[0]
+
+    # empty-tile result (zeros, T_final = 1), written once for all TS tiles;
+    # occupied tiles overwrite their row below — background tiles then cost
+    # only the scalar count check
+    empty_row = jnp.concatenate(
+        [jnp.zeros((n_chan + 1, P), jnp.float32),
+         jnp.ones((1, P), jnp.float32),
+         jnp.zeros((oc_pad - n_chan - 2, P), jnp.float32)], axis=0)
+    out_ref[:] = jnp.broadcast_to(empty_row[None],
+                                  (_TILES_PER_STEP, oc_pad, P))
 
     def body(i, _):
+        n_used = (cnt_ref[pid, i] + ch - 1) // ch
+
+        @pl.when(n_used > 0)
+        def _tile():
+            _fwd_tile(i, n_used)
+        return 0
+
+    def _fwd_tile(i, n_used):
         t = t0 + i
         txf = ((t % tiles_x) * tile).astype(jnp.float32)
         tyf = ((t // tiles_x) * tile).astype(jnp.float32)
-        acc_ref[:] = jnp.zeros((P, nacc_pad), jnp.float32)
-        logt_ref[:] = jnp.zeros((P, 2), jnp.float32)      # col0 full, col1 contrib
-        n_used = (cnt_ref[pid, i] + ch - 1) // ch
+        acc_ref[:] = jnp.zeros((nacc_pad, P), jnp.float32)
+        logt_ref[:] = jnp.zeros((8, P), jnp.float32)   # row0 full, row1 contrib
 
         for j in range(n_chunks):
-            pred = (j < n_used) & (jnp.max(logt_ref[:, 0:1]) >= _LOG_T_MIN)
+            pred = (j < n_used) & (jnp.max(logt_ref[0:1, :]) >= _LOG_T_MIN)
 
             @pl.when(pred)
             def _process(j=j):
                 f = feats_ref[:, pl.ds(i * n_chunks + j, 1), :]
                 f = f.reshape(f.shape[0], ch)
-                tm = _alpha_chunk(f, basis, tri_inc, txf, tyf,
-                                  logt_ref[:, 0:1])
+                tm = _alpha_chunk(f, basis, eye, tri_inc, txf, tyf,
+                                  logt_ref[0:1, :])
                 rows = [f[6:6 + n_chan, :], jnp.ones((1, ch), jnp.float32)]
                 if n_aux:
                     rows.append(f[6 + n_chan:6 + n_chan + n_aux, :])
                 if nacc_pad > nacc:
                     rows.append(jnp.zeros((nacc_pad - nacc, ch), jnp.float32))
                 chan_full = jnp.concatenate(rows, axis=0)  # [nacc_pad, ch]
-                acc_ref[:] += _mm(tm["w"], chan_full, ((1,), (1,)))
-                logt_ref[:] += jnp.concatenate(
-                    [tm["adv_full"], tm["adv_contrib"]], axis=1)
+                acc_ref[:] += _mm(chan_full, tm["w"], ((1,), (0,)))  # [nacc,P]
+                logt_ref[0:2, :] += jnp.concatenate(
+                    [tm["adv_full"], tm["adv_contrib"]], axis=0)
 
-        t_final = jnp.exp(logt_ref[:, 1:2])               # [P, 1]
+        t_final = jnp.exp(logt_ref[1:2, :])               # [1, P]
         acc = acc_ref[:]
-        parts = [acc[:, :n_chan + 1], t_final]
+        parts = [acc[:n_chan + 1, :], t_final]
         if n_aux:
-            parts.append(acc[:, n_chan + 1:nacc])
+            parts.append(acc[n_chan + 1:nacc, :])
         pad = oc_pad - (n_chan + 2 + n_aux)
         if pad:
-            parts.append(jnp.zeros((P, pad), jnp.float32))
-        out_ref[pl.ds(i, 1)] = jnp.concatenate(parts, axis=1)[None]
-        return 0
+            parts.append(jnp.zeros((pad, P), jnp.float32))
+        out_ref[pl.ds(i, 1)] = jnp.concatenate(parts, axis=0)[None]
 
     jax.lax.fori_loop(0, _TILES_PER_STEP, body, 0)
 
@@ -245,56 +266,64 @@ def _bwd_kernel(cnt_ref, feats_ref, g_ref, dfeats_ref,
     ch = _chunk(kk)
     n_chunks = kk // ch
     basis = _pixel_basis(tile)
+    eye = jnp.eye(ch, dtype=jnp.float32)
     tri_inc = _tri_inclusive(ch)
-    tri_low = _tri_strict_lower(ch)
+    tri_up = _tri_strict_upper(ch)
+
+    dfeats_ref[:] = jnp.zeros(dfeats_ref.shape, jnp.float32)
 
     def body(i, _):
+        n_used = (cnt_ref[pid, i] + ch - 1) // ch
+
+        @pl.when(n_used > 0)
+        def _tile():
+            _bwd_tile(i, n_used)
+        return 0
+
+    def _bwd_tile(i, n_used):
         t = t0 + i
         txf = ((t % tiles_x) * tile).astype(jnp.float32)
         tyf = ((t // tiles_x) * tile).astype(jnp.float32)
-        dfeats_ref[:, pl.ds(i * n_chunks, n_chunks), :] = jnp.zeros(
-            (f_pad, n_chunks, ch), jnp.float32)
         g = g_ref[pl.ds(i, 1)].reshape(g_ref.shape[1], g_ref.shape[2])
-        n_used = (cnt_ref[pid, i] + ch - 1) // ch
 
         # ---- forward sweep: record each chunk's ENTRY full log-transmittance
-        # in clog[:, j] (clog[:, n_chunks] = final full; clog[:, n_chunks+1]
+        # in clog[j, :] (clog[n_chunks, :] = final full; clog[n_chunks+1, :]
         # accumulates the contributing-only sum for t_final). Skipped chunks
-        # copy the entry forward, so pred_j = (j < n_used) & (max clog[:, j]
+        # copy the entry forward, so pred_j = (j < n_used) & (max clog[j, :]
         # >= log T_min) reproduces the forward's skip decisions in reverse.
         nc = n_chunks
-        clog_ref[:] = jnp.zeros((P, clog_ref.shape[1]), jnp.float32)
+        clog_ref[:] = jnp.zeros((clog_ref.shape[0], P), jnp.float32)
         for j in range(n_chunks):
-            entry = clog_ref[:, j:j + 1]
-            clog_ref[:, j + 1:j + 2] = entry
+            entry = clog_ref[j:j + 1, :]
+            clog_ref[j + 1:j + 2, :] = entry
             pred = (j < n_used) & (jnp.max(entry) >= _LOG_T_MIN)
 
             @pl.when(pred)
             def _advance(j=j):
                 f = feats_ref[:, pl.ds(i * n_chunks + j, 1), :]
                 f = f.reshape(f.shape[0], ch)
-                tm = _alpha_chunk(f, basis, tri_inc, txf, tyf,
-                                  clog_ref[:, j:j + 1])
-                clog_ref[:, j + 1:j + 2] = (clog_ref[:, j:j + 1]
+                tm = _alpha_chunk(f, basis, eye, tri_inc, txf, tyf,
+                                  clog_ref[j:j + 1, :])
+                clog_ref[j + 1:j + 2, :] = (clog_ref[j:j + 1, :]
                                             + tm["adv_full"])
-                clog_ref[:, nc + 1:nc + 2] += tm["adv_contrib"]
+                clog_ref[nc + 1:nc + 2, :] += tm["adv_contrib"]
 
-        t_final = jnp.exp(clog_ref[:, nc + 1:nc + 2])     # [P, 1]
-        btf = g[:, n_chan + 1:n_chan + 2] * t_final       # [P, 1]
-        g_w = g[:, :n_chan + 1]                           # chan cols + alpha
+        t_final = jnp.exp(clog_ref[nc + 1:nc + 2, :])     # [1, P]
+        btf = g[n_chan + 1:n_chan + 2, :] * t_final       # [1, P]
+        g_w = g[:n_chan + 1, :]                           # chan rows + alpha
 
         # ---- reverse sweep: analytic gradients, last chunk -> first ----
-        ssuf_ref[:] = jnp.zeros((P, 1), jnp.float32)
+        ssuf_ref[:] = jnp.zeros((8, P), jnp.float32)
         for j in reversed(range(n_chunks)):
-            entry = clog_ref[:, j:j + 1]
+            entry = clog_ref[j:j + 1, :]
             pred = (j < n_used) & (jnp.max(entry) >= _LOG_T_MIN)
 
             @pl.when(pred)
             def _grads(j=j):
                 f = feats_ref[:, pl.ds(i * n_chunks + j, 1), :]
                 f = f.reshape(f.shape[0], ch)
-                log_t0 = clog_ref[:, j:j + 1]
-                tm = _alpha_chunk(f, basis, tri_inc, txf, tyf, log_t0)
+                log_t0 = clog_ref[j:j + 1, :]
+                tm = _alpha_chunk(f, basis, eye, tri_inc, txf, tyf, log_t0)
                 w, one_m = tm["w"], tm["one_m"]
                 t_excl = tm["t_incl"] / one_m
                 cmask = tm["contrib"].astype(jnp.float32)
@@ -302,16 +331,16 @@ def _bwd_kernel(cnt_ref, feats_ref, g_ref, dfeats_ref,
                 chan = f[6:6 + n_chan, :]
                 chan_w = jnp.concatenate(
                     [chan, jnp.ones((1, ch), jnp.float32)], axis=0)
-                G = _mm(g_w, chan_w, ((1,), (0,)))        # [P, ch] dL/dw
+                G = _mm(chan_w, g_w, ((0,), (0,)))        # [ch, P] dL/dw
                 Gw = G * w
-                S = _mm(Gw, tri_low, ((1,), (0,))) + ssuf_ref[:]  # Σ_{j>i}
+                S = _mm(tri_up, Gw, ((1,), (0,))) + ssuf_ref[0:1, :]  # Σ_{j>i}
                 dalpha = cmask * G * t_excl - (S + btf * cmask) / one_m
 
                 live = (tm["ok"] & (tm["pre"] < 0.99)).astype(jnp.float32)
-                dpow = dalpha * tm["pre"] * live          # [P, ch]
+                dpow = dalpha * tm["pre"] * live          # [ch, P]
 
                 # six per-splat reductions as ONE pixel-moment matmul
-                m = _mm(basis, dpow, ((0,), (0,)))        # [8, ch]
+                m = _mm(basis, dpow, ((0,), (1,)))        # [8, ch]
                 m1, mx, my = m[0:1, :], m[1:2, :], m[2:3, :]
                 mxx, mxy, myy = m[3:4, :], m[4:5, :], m[5:6, :]
                 gx, gy = tm["gx"], tm["gy"]
@@ -325,19 +354,17 @@ def _bwd_kernel(cnt_ref, feats_ref, g_ref, dfeats_ref,
                 dgy = cC * cmy + cB * cmx
                 d_op = jnp.where(op > 0.0, m1 / jnp.maximum(op, 1e-20), 0.0)
 
-                dchan = _mm(g[:, :n_chan], w, ((0,), (0,)))  # [C, ch]
+                dchan = _mm(g[:n_chan, :], w, ((1,), (1,)))  # [C, ch]
                 parts = [dgx, dgy, dA, dB, dC, d_op, dchan]
                 if n_aux:
-                    g_aux = g[:, n_chan + 2:n_chan + 2 + n_aux]
-                    parts.append(_mm(g_aux, w, ((0,), (0,))))  # stop-grad w
+                    g_aux = g[n_chan + 2:n_chan + 2 + n_aux, :]
+                    parts.append(_mm(g_aux, w, ((1,), (1,))))  # stop-grad w
                 pad = f_pad - (6 + n_chan + n_aux)
                 if pad:
                     parts.append(jnp.zeros((pad, ch), jnp.float32))
                 dfeats_ref[:, pl.ds(i * n_chunks + j, 1), :] = (
                     jnp.concatenate(parts, axis=0)[:, None, :])
-                ssuf_ref[:] += jnp.sum(Gw, axis=1, keepdims=True)
-
-        return 0
+                ssuf_ref[0:1, :] += jnp.sum(Gw, axis=0, keepdims=True)
 
     jax.lax.fori_loop(0, _TILES_PER_STEP, body, 0)
 
@@ -368,15 +395,15 @@ def _fwd_call(static: CompositeStatic, feats: jnp.ndarray,
             pl.BlockSpec((F, TS * nc, ch), lambda t: (0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TS, P, oc_pad), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((TS, oc_pad, P), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Tp, P, oc_pad), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((P, nacc_pad), jnp.float32),
-                        pltpu.VMEM((P, 2), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Tp, oc_pad, P), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((nacc_pad, P), jnp.float32),
+                        pltpu.VMEM((8, P), jnp.float32)],
         interpret=static.interpret,
     )(cnt.astype(jnp.int32).reshape(Tp // TS, TS),
       feats.reshape(F, Tp * nc, ch))
-    return out[:T, :, :oc]
+    return out[:T, :oc, :]
 
 
 def _bwd_call(static: CompositeStatic, feats: jnp.ndarray, cnt: jnp.ndarray,
@@ -390,7 +417,7 @@ def _bwd_call(static: CompositeStatic, feats: jnp.ndarray, cnt: jnp.ndarray,
     if Tp > T:
         feats = jnp.pad(feats, ((0, 0), (0, Tp - T), (0, 0)))
         cnt = jnp.pad(cnt, (0, Tp - T))
-    g = jnp.pad(g, ((0, Tp - T), (0, 0), (0, oc_pad - g.shape[-1])))
+    g = jnp.pad(g, ((0, Tp - T), (0, oc_pad - g.shape[1]), (0, 0)))
     ch = _chunk(K)
     nc = K // ch
     kern = functools.partial(
@@ -404,14 +431,14 @@ def _bwd_call(static: CompositeStatic, feats: jnp.ndarray, cnt: jnp.ndarray,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((F, TS * nc, ch), lambda t: (0, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TS, P, oc_pad), lambda t: (t, 0, 0),
+            pl.BlockSpec((TS, oc_pad, P), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((F, TS * nc, ch), lambda t: (0, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((F, Tp * nc, ch), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((P, nc + 2), jnp.float32),
-                        pltpu.VMEM((P, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_round_up(nc + 2, 8), P), jnp.float32),
+                        pltpu.VMEM((8, P), jnp.float32)],
         interpret=static.interpret,
     )(cnt.astype(jnp.int32).reshape(Tp // TS, TS),
       feats.reshape(F, Tp * nc, ch), g)
@@ -433,8 +460,8 @@ def composite_tiles_fused(static: CompositeStatic, feats: jnp.ndarray,
         early-exit chunk loop; results are exact regardless of cnt as long
         as slots >= cnt carry opacity 0.
 
-    Returns [T, P, C+2+A]: per-tile-pixel accumulated channels, alpha,
-    residual transmittance T_final, and aux channels.
+    Returns channel-major [T, C+2+A, P] (pixels on lanes): per-tile
+    accumulated channels, alpha, residual transmittance T_final, aux.
     """
     return _fwd_call(static, feats, cnt)
 

@@ -564,6 +564,15 @@ def _tiles_to_image(cfg: RasterizeConfig, flat, ch: int):
     return img[:, :cfg.image_height, :cfg.image_width]
 
 
+def _tiles_to_image_cm(cfg: RasterizeConfig, flat, ch: int):
+    """Channel-major [T, ch, P] tile pixels -> [ch, H, W] (crop padding)."""
+    tile = cfg.tile
+    img = flat.reshape(cfg.tiles_y, cfg.tiles_x, ch, tile, tile)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(ch, cfg.tiles_y * tile,
+                                               cfg.tiles_x * tile)
+    return img[:, :cfg.image_height, :cfg.image_width]
+
+
 def _composite_tiles_pallas(cfg: RasterizeConfig, px, py, proj: Projected,
                             opac, colors, extra_attrs, ids, valid, bg,
                             light: bool, aux_colors, interpret: bool):
@@ -599,29 +608,29 @@ def _composite_tiles_pallas(cfg: RasterizeConfig, px, py, proj: Projected,
     # kernel's early-exit chunk loop; background tiles become ~free
     cnt = jnp.sum(valid, axis=-1, dtype=jnp.int32)       # [T]
     static = CompositeStatic(cfg.tile, cfg.tiles_x, n_chan, n_aux, interpret)
-    out = composite_tiles_fused(static, ftiles, cnt)     # [T, P, C+2+A]
+    out = composite_tiles_fused(static, ftiles, cnt)     # [T, C+2+A, P]
 
-    acc = out[..., :n_chan]
-    alpha_out = out[..., n_chan:n_chan + 1]
-    t_final = out[..., n_chan + 1:n_chan + 2]
+    acc = out[:, :n_chan]
+    alpha_out = out[:, n_chan:n_chan + 1]
+    t_final = out[:, n_chan + 1:n_chan + 2]
 
     H, W = cfg.image_height, cfg.image_width
-    image = (_tiles_to_image(cfg, acc[..., 0:3], 3)
-             + _tiles_to_image(cfg, t_final, 1) * bg[:, None, None])
+    image = (_tiles_to_image_cm(cfg, acc[:, 0:3], 3)
+             + _tiles_to_image_cm(cfg, t_final, 1) * bg[:, None, None])
     if light:
         depth = jnp.zeros((1, H, W), image.dtype)
         normal = jnp.zeros((3, H, W), image.dtype)
         extra = jnp.zeros((1, H, W), image.dtype)
     else:
-        depth = _tiles_to_image(cfg, acc[..., 3:4], 1)
-        normal = _tiles_to_image(cfg, acc[..., 4:7], 3)
-        extra = _tiles_to_image(cfg, acc[..., 7:8], 1)
-    alpha_img = _tiles_to_image(cfg, alpha_out, 1)
+        depth = _tiles_to_image_cm(cfg, acc[:, 3:4], 1)
+        normal = _tiles_to_image_cm(cfg, acc[:, 4:7], 3)
+        extra = _tiles_to_image_cm(cfg, acc[:, 7:8], 1)
+    alpha_img = _tiles_to_image_cm(cfg, alpha_out, 1)
 
     radii = jnp.where(proj.visible, proj.radius, 0.0).astype(jnp.int32)
     res = RasterizeOutput(image, depth, normal, alpha_img, radii, extra)
     if n_aux:
-        aux_img = _tiles_to_image(cfg, out[..., n_chan + 2:], n_aux)
+        aux_img = _tiles_to_image_cm(cfg, out[:, n_chan + 2:], n_aux)
         return res, aux_img
     return res
 
