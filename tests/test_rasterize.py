@@ -266,3 +266,47 @@ def test_cov3d_precomp_matches_scales_rotations():
                                np.asarray(out_sr.image), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out_cv.radii),
                                   np.asarray(out_sr.radii))
+
+
+def test_two_stage_select_matches_single_stage():
+    """Row-prefiltered selection must reproduce the single-stage selection
+    exactly when rows don't overflow M (exact top-k both stages)."""
+    H = W = 64
+    view, full, campos, tanfov = make_camera(H, W)
+    means, opac, scales, rots, shs = make_scene(n=600, seed=3)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    imgs = {}
+    for two_stage in (False, True):
+        cfg = RasterizeConfig(H, W, max_per_tile=128, tile_chunk=8,
+                              approx_topk=False, two_stage_select=two_stage,
+                              row_select_m=512)  # < n -> path taken
+        imgs[two_stage] = np.asarray(jax.jit(
+            lambda *a: rasterize(cfg, *a, shs=shs, sh_degree=1))(
+            means, opac, scales, rots, view, full, campos, tanfov, tanfov,
+            bg).image)
+    err = np.abs(imgs[True] - imgs[False]).max()
+    assert err < 1e-5, f"two-stage selection deviates: max |err|={err}"
+
+
+def test_two_stage_select_gradients_match():
+    """Gradients through the two-stage-selected composite equal the
+    single-stage ones (selection is index-only; same splats selected)."""
+    H = W = 48
+    view, full, campos, tanfov = make_camera(H, W)
+    means, opac, scales, rots, shs = make_scene(n=400, seed=5)
+    bg = jnp.array([0.0, 0.0, 0.0])
+    grads = {}
+    for two_stage in (False, True):
+        cfg = RasterizeConfig(H, W, max_per_tile=96, tile_chunk=8,
+                              approx_topk=False, two_stage_select=two_stage,
+                              row_select_m=360)
+
+        def loss(m, o):
+            out = rasterize(cfg, m, o, scales, rots, view, full, campos,
+                            tanfov, tanfov, bg, shs=shs, sh_degree=1)
+            return jnp.mean(out.image ** 2) + jnp.mean(out.alpha)
+
+        grads[two_stage] = jax.jit(jax.grad(loss, argnums=(0, 1)))(means, opac)
+    for ga, gb in zip(grads[False], grads[True]):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=1e-6, rtol=1e-5)
