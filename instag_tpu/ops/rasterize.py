@@ -37,6 +37,8 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -53,15 +55,22 @@ class RasterizeConfig:
     tile_chunk: int = 32          # tiles processed per scan step
     depth_cull: float = 0.2       # view-space near cull (CUDA: p_view.z <= 0.2)
     # TPU-native approximate top-k (PartialReduce) for per-tile selection —
-    # ~2.7x faster than exact top_k at 512px/30k splats; the nearest splat is
+    # ~10x faster than exact top_k at 512px/30k splats; the nearest splat is
     # never missed (it is always a bin maximum) and misses concentrate at the
     # far tail where transmittance is already saturated. Set False for
-    # bit-exact oracle comparisons.
+    # bit-exact oracle comparisons. Recall sweep at 512²/30k dense scene
+    # (mean 137 hits/tile, K=256, PSNR vs exact-K=1024 oracle, v5e):
+    # .95 → 50.5 dB / 4.1 ms fwd; .90 → 48.0 dB / 2.5 ms; .85 → 44.5 dB /
+    # 2.2 ms; exact → 56.6 dB / 36 ms. 0.9 is the default: comfortably
+    # beyond training noise (K=128 truncation at 33 dB is where error
+    # becomes visible) at ~60% of the .95 sweep cost.
     approx_topk: bool = True
-    approx_recall: float = 0.95
-    # tiles per top-k sweep in _tile_select; larger = fewer scan steps and
-    # better VPU utilization (a [select_chunk, N] key matrix per step)
-    select_chunk: int = 256
+    approx_recall: float = 0.9
+    # tiles per top-k sweep in _tile_select; a [select_chunk, N] key matrix
+    # per scan step — 128 measured fastest at 512²/30k (1.42 ms vs 1.60 at
+    # 256, 4.8 at 1024; the sweet spot balances sweep count against the
+    # approx_max_k working-set size)
+    select_chunk: int = 128
     # Two-stage selection: stage 1 picks the front `row_select_m` splats per
     # 16-px tile ROW (one [rows, N] sweep), stage 2 selects each tile's
     # front-K from its row's M candidates ([T, M] instead of [T, N] keys).
@@ -634,6 +643,41 @@ def _tiles_to_image_cm(cfg: RasterizeConfig, flat, ch: int):
     return img[:, :cfg.image_height, :cfg.image_width]
 
 
+@jax.custom_vjp
+def _tile_gather(feats: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """``feats[:, ids]`` with a faster backward.
+
+    The VJP of the [F, N] -> [F, T, K] lane gather is a scatter-add of
+    T*K index columns; XLA's single big scatter runs ~4.5 ms at 512²/30k
+    on v5e while the SAME updates split into 4 sequential scatters over
+    one accumulator run ~3.0 ms (measured; the split is exact — addition
+    reassociates per index column). Forward is unchanged.
+    """
+    return feats[:, ids]
+
+
+def _tile_gather_fwd(feats, ids):
+    return feats[:, ids], (ids, feats.shape)
+
+
+def _tile_gather_bwd(res, g):
+    ids, (F, N) = res
+    T, K = ids.shape
+    S = 4 if T % 4 == 0 else 1
+    gs = jnp.moveaxis(g.reshape(F, T // S, S, K), 2, 0)     # [S, F, T/S, K]
+    idss = jnp.moveaxis(ids.reshape(T // S, S, K), 1, 0)    # [S, T/S, K]
+
+    def body(acc, xs):
+        gg, ii = xs
+        return acc.at[:, ii].add(gg), None
+
+    acc = jax.lax.scan(body, jnp.zeros((F, N), g.dtype), (gs, idss))[0]
+    return acc, np.zeros(ids.shape, dtype=jax.dtypes.float0)
+
+
+_tile_gather.defvjp(_tile_gather_fwd, _tile_gather_bwd)
+
+
 def _composite_tiles_pallas(cfg: RasterizeConfig, px, py, proj: Projected,
                             opac, colors, extra_attrs, ids, valid, bg,
                             light: bool, aux_colors, interpret: bool):
@@ -657,7 +701,7 @@ def _composite_tiles_pallas(cfg: RasterizeConfig, px, py, proj: Projected,
     F = feats.shape[0]
     f_pad = -(-F // 8) * 8
 
-    ftiles = feats[:, ids]                               # [F, T, K]
+    ftiles = _tile_gather(feats, ids)                    # [F, T, K]
     # invalid slots: zero opacity => alpha 0 => no contribution, no grads
     opac_row = jnp.where(valid, ftiles[5], 0.0)
     ftiles = jax.lax.dynamic_update_slice_in_dim(

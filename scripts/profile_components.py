@@ -30,38 +30,10 @@ sys.path.insert(0, ".")
 
 
 def timed(fn, *args, reps=20, scan=True):
-    """Compile fn (optionally scanned reps times in one program) and return
-    ms per call."""
-    import jax
-    import jax.numpy as jnp
-
-    if scan:
-        def loop(*a):
-            def body(c, i):
-                # perturb the input by the carry so iterations can't be CSE'd,
-                # and reduce over EVERY output element so none of the
-                # computation is dead-code-eliminated
-                aa = jax.tree.map(
-                    lambda x: x + (c * 0).astype(x.dtype)
-                    if jnp.issubdtype(x.dtype, jnp.floating) else x, a)
-                r = fn(*aa)
-                tot = sum(jnp.sum(leaf.astype(jnp.float32))
-                          for leaf in jax.tree.leaves(r))
-                return c + tot, None
-            return jax.lax.scan(body, 0.0, None, length=reps)[0]
-        c = jax.jit(loop).lower(*args).compile()
-        c(*args).block_until_ready()
-        t0 = time.time()
-        c(*args).block_until_ready()
-        return (time.time() - t0) / reps * 1000
-    c = jax.jit(fn).lower(*args).compile()
-    c(*args)
-    jax.block_until_ready(c(*args))
-    t0 = time.time()
-    for _ in range(reps):
-        r = c(*args)
-    jax.block_until_ready(r)
-    return (time.time() - t0) / reps * 1000
+    """Compile fn scanned ``reps`` times in one program; return ms per call
+    (fetch-forced, RPC-floor-subtracted — see instag_tpu.utils.timing)."""
+    from instag_tpu.utils.timing import time_scanned
+    return time_scanned(fn, *args, reps=reps)
 
 
 def main():

@@ -49,6 +49,7 @@ def render_img(cfg, inputs, cam):
 
 
 def time_fwd_bwd(cfg, inputs, cam, steps=20):
+    from instag_tpu.utils.timing import time_scanned
     means, opac, scales, rots, shs = inputs
     view, full, campos, tfx, tfy = cam
     bg = jnp.array([0.0, 1.0, 0.0], jnp.float32)
@@ -58,18 +59,11 @@ def time_fwd_bwd(cfg, inputs, cam, steps=20):
                         shs=sh, sh_degree=1)
         return jnp.mean(jnp.abs(out.image)) + 0.1 * jnp.mean(out.alpha)
 
-    tms = {}
-    for name, f in [("fwd", jax.jit(loss)),
-                    ("fwd+bwd", jax.jit(jax.value_and_grad(
-                        loss, argnums=(0, 1, 2, 3, 4))))]:
-        r = f(means, opac, scales, rots, shs)
-        jax.block_until_ready(r)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            r = f(means, opac, scales, rots, shs)
-        jax.block_until_ready(r)
-        tms[name] = (time.perf_counter() - t0) / steps * 1000
-    return tms
+    grad = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))
+    return {
+        "fwd": time_scanned(loss, *inputs, reps=steps),
+        "fwd+bwd": time_scanned(grad, *inputs, reps=steps),
+    }
 
 
 def psnr(a, b):

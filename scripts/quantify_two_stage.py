@@ -35,20 +35,10 @@ def timing(cfg, inputs, cam, reps=10):
         return rasterize(cfg, m, opac, scales, rots, view, full, campos,
                          tfx, tfy, bg, shs=shs, sh_degree=1).image
 
-    def scan_of(fn):
-        def loop(m):
-            def body(c, _):
-                r = fn(m + c * 0)
-                return c + jnp.sum(jax.tree.leaves(r)[0].astype(jnp.float32)), None
-            return jax.lax.scan(body, 0.0, None, length=reps)[0]
-        c = jax.jit(loop).lower(means).compile()
-        c(means).block_until_ready()
-        t0 = time.time()
-        c(means).block_until_ready()
-        return (time.time() - t0) / reps * 1000
-
-    ms_f = scan_of(fwd)
-    ms_fb = scan_of(jax.grad(lambda m: jnp.mean(fwd(m) ** 2)))
+    from instag_tpu.utils.timing import time_scanned
+    ms_f = time_scanned(fwd, means, reps=reps)
+    ms_fb = time_scanned(jax.grad(lambda m: jnp.mean(fwd(m) ** 2)), means,
+                         reps=reps)
     return ms_f, ms_fb
 
 
