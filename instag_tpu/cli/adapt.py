@@ -24,7 +24,8 @@ from ..io.checkpoints import (load_bundle, save_bundle, save_gaussian_ply,
                               state_to_dict)
 
 
-def _warm_stage_compiles(mc, oc, fuse_iterations: int) -> None:
+def _warm_stage_compiles(mc, oc, fuse_iterations: int,
+                         mouth_init_num: int = 0) -> None:
     """Background thread: AOT-compile the mouth and fuse training blocks
     with this run's exact shapes while the face stage trains, so the later
     stages hit the persistent compile cache (~4 s) instead of paying the
@@ -66,19 +67,22 @@ def _warm_stage_compiles(mc, oc, fuse_iterations: int) -> None:
         h, w = records[0].height, records[0].width
         cfg = RasterizeConfig(h, w, max_per_tile=mc.max_per_tile)
         capacity = mc.resolve_capacity()
+        m_init = mouth_init_num or mc.init_num
+        mcm = dataclasses.replace(mc, init_num=m_init)
+        m_capacity = mcm.resolve_capacity()
         interval = oc.densification_interval
 
-        def mk_state(seed):
-            xyz, colors = random_init_points(mc.init_num, seed)
+        def mk_state(seed, init=None, cap=None):
+            xyz, colors = random_init_points(init or mc.init_num, seed)
             st = G.create_from_points(jnp.asarray(xyz), jnp.asarray(colors),
-                                      capacity, mc.sh_degree, extent)
+                                      cap or capacity, mc.sh_degree, extent)
             return st, G.adam_init(st.params)
 
         # ---- mouth block (mirrors train/mouth.py setup) ----
         mouth_net = MouthMotionNetwork(mc.audio_extractor)
         mouth_pmf = PersonalizedMotionNetwork("mouth", mc.audio_extractor)
         face_net = MotionNetwork(mc.audio_extractor)
-        st, gopt = mk_state(0)
+        st, gopt = mk_state(0, init=m_init, cap=m_capacity)
         k = jax.random.key(0)
         x0, a0 = st.params.xyz[:8], batch.auds[0]
         m_umf = jax.jit(mouth_net.init)(k, x0, a0, jnp.zeros((1, 3)))
@@ -125,7 +129,7 @@ def _warm_stage_compiles(mc, oc, fuse_iterations: int) -> None:
         fst2 = G.create_from_points(jnp.asarray(xyzf), jnp.asarray(colf),
                                     capacity, 1, extent)
         fgopt = G.adam_init(fst2.params)
-        mst2, mgopt = mk_state(2)
+        mst2, mgopt = mk_state(2, init=m_init, cap=m_capacity)
         f_umf2 = jax.jit(face_net_i.init)(k, x0, a0, batch.au_exp[0])
         m_umf2 = jax.jit(mouth_net_i.init)(k, x0, a0, jnp.zeros((1, 3)))
         f_pmf2 = jax.jit(face_pmf_i.init)(k, x0, a0, batch.au_exp[0])
@@ -150,6 +154,10 @@ def main(argv=None):
                         help="pretrain output dir holding "
                              "chkpnt_ema_{face,mouth}_latest.pkl")
     parser.add_argument("--fuse_iterations", type=int, default=2000)
+    parser.add_argument("--mouth_init_num", type=int, default=0,
+                        help="initial mouth-cloud size; 0 keeps --init_num. "
+                             "The reference pipeline trains mouth with 5000 "
+                             "vs face 2000 (train_xx_few.sh:19-20)")
     parser.add_argument("--dilate", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip_synthesis", action="store_true")
@@ -189,7 +197,8 @@ def main(argv=None):
     if not (args.long or args.no_warm_ahead):
         import threading
         threading.Thread(target=_warm_stage_compiles,
-                         args=(mc, oc, args.fuse_iterations),
+                         args=(mc, oc, args.fuse_iterations,
+                               args.mouth_init_num),
                          daemon=True).start()
 
     # ---- face ----
@@ -218,6 +227,9 @@ def main(argv=None):
     stage("train_mouth")
     from ..train.mouth import train_mouth
     mcm = dataclasses.replace(mc, type="mouth")
+    if args.mouth_init_num > 0:
+        mcm = dataclasses.replace(mcm, init_num=args.mouth_init_num,
+                                  capacity=mc.capacity)
     mouth_res = train_mouth(mcm, oc, face_bundle=face_bundle,
                             pretrain_bundle=load_pre("mouth"),
                             long=args.long, seed=args.seed)

@@ -34,11 +34,19 @@ def create_teeth_masks(base_dir: str, ori_imgs_dir: str,
     out_dir = os.path.join(base_dir, "teeth_mask")
     os.makedirs(out_dir, exist_ok=True)
     model_path = os.environ.get("INSTAG_TEETH_MODEL", "weights/teeth_fpn.pt")
+    fpn_path = os.environ.get("INSTAG_EASYPORTRAIT_FPN",
+                              "weights/fpn-fp-512.pth")
 
     model = None
+    fpn = None
     if os.path.exists(model_path):
         import torch
         model = torch.jit.load(model_path, map_location="cpu").eval()
+    elif os.path.exists(fpn_path):
+        # the reference's actual segmentor (mmseg fpn-fp-512.pth), via the
+        # from-scratch key-compatible arch in easyportrait_fpn.py
+        from .easyportrait_fpn import load_fpn_fp, segment
+        fpn = load_fpn_fp(fpn_path)
 
     for image_path in sorted(glob.glob(os.path.join(ori_imgs_dir, "*.jpg"))):
         img_id = os.path.basename(image_path).split(".")[0]
@@ -54,6 +62,9 @@ def create_teeth_masks(base_dir: str, ori_imgs_dir: str,
             cls = seg.argmax(0).numpy().astype(np.uint8)
             teeth = cv2.resize((cls == 7).astype(np.uint8), (w, h),
                                interpolation=cv2.INTER_NEAREST).astype(bool)
+        elif fpn is not None:
+            from .easyportrait_fpn import TEETH_CLASS, segment
+            teeth = segment(fpn, img) == TEETH_CLASS
         elif use_fallback:
             # landmark fallback: inner-mouth polygon (indices 60-67)
             lms_path = image_path.replace(".jpg", ".lms")
@@ -69,8 +80,9 @@ def create_teeth_masks(base_dir: str, ori_imgs_dir: str,
                 f"teeth segmentation model not found at {model_path}; set "
                 "INSTAG_TEETH_MODEL or enable the landmark fallback")
         np.save(os.path.join(out_dir, f"{img_id}.npy"), teeth)
-    print(f"[teeth] wrote masks to {out_dir}"
-          + ("" if model is not None else " (landmark fallback)"))
+    src = ("torchscript model" if model is not None else
+           "EasyPortrait FPN" if fpn is not None else "landmark fallback")
+    print(f"[teeth] wrote masks to {out_dir} ({src})")
 
 
 def run_sapiens(base_dir: str, max_frames: int = 500) -> None:

@@ -76,7 +76,8 @@ if [[ ! -f weights/deepspeech-0.1.0/output_graph.pb ]]; then
 fi
 
 # 5. EasyPortrait FPN teeth/portrait segmenter (reference README:49)
-#    -> data_utils/priors.py (INSTAG_TEETH_MODEL after torchscript export)
+#    -> loads directly into the from-scratch key-compatible arch
+#       (data_utils/easyportrait_fpn.py, no mmseg/mmcv needed)
 fetch "https://rndml-team-cv.obs.ru-moscow-1.hc.sbercloud.ru/datasets/easyportrait/experiments/models/fpn-fp-512.pth" \
       weights/fpn-fp-512.pth
 
@@ -106,5 +107,5 @@ cat <<'ENV'
   export DEEPSPEECH_PB=$PWD/weights/deepspeech-0.1.0/output_graph.pb
   export INSTAG_SAPIENS_DEPTH=$PWD/weights/sapiens_0.3b_depth.pt2
   export INSTAG_SAPIENS_NORMAL=$PWD/weights/sapiens_0.3b_normal.pt2
-  export INSTAG_TEETH_MODEL=$PWD/weights/teeth_fpn.pt
+  export INSTAG_EASYPORTRAIT_FPN=$PWD/weights/fpn-fp-512.pth
 ENV

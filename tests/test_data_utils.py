@@ -261,3 +261,66 @@ def test_asr_streamer_file_mode(tmp_path):
     assert np.abs(arr[20:]).max() > 0
     wins = s.saved_windows()
     assert wins.shape[1:] == (16, 44)
+
+
+def test_easyportrait_fpn_structure():
+    """The from-scratch FPN segmentor must (a) expose EXACTLY the mmseg
+    checkpoint key layout (so fpn-fp-512.pth loads strictly) and (b) run
+    whole-image inference. Ref: data_utils/easyportrait/local_configs/
+    easyportrait_experiments_v2/fpn-fp/fpn-fp.py."""
+    import torch
+    from instag_tpu.data_utils.easyportrait_fpn import (EasyPortraitFPN,
+                                                        TEETH_CLASS, segment)
+    model = EasyPortraitFPN().eval()
+    sd = model.state_dict()
+
+    # load-bearing keys + shapes from the mmseg layout
+    expect = {
+        "backbone.stem.0.weight": (32, 3, 3, 3),
+        "backbone.stem.6.weight": (64, 32, 3, 3),
+        "backbone.layer1.0.downsample.0.weight": (256, 64, 1, 1),
+        "backbone.layer1.0.conv2.weight": (64, 64, 3, 3),
+        "backbone.layer3.5.conv3.weight": (1024, 256, 1, 1),
+        "backbone.layer4.2.bn3.running_mean": (2048,),
+        "neck.lateral_convs.3.conv.weight": (256, 2048, 1, 1),
+        "neck.fpn_convs.0.conv.weight": (256, 256, 3, 3),
+        "decode_head.scale_heads.0.0.conv.weight": (128, 256, 3, 3),
+        "decode_head.scale_heads.3.4.conv.weight": (128, 128, 3, 3),
+        "decode_head.scale_heads.3.4.bn.weight": (128,),
+        "decode_head.conv_seg.weight": (8, 128, 1, 1),
+    }
+    for k, shape in expect.items():
+        assert k in sd, f"missing checkpoint key {k}"
+        assert tuple(sd[k].shape) == shape, (k, sd[k].shape)
+    # no stray parameter keys outside the mmseg naming scheme
+    for k in sd:
+        assert k.startswith(("backbone.", "neck.", "decode_head.")), k
+        assert ".activate." not in k, k
+
+    img = np.random.default_rng(0).integers(
+        0, 255, (40, 48, 3), dtype=np.uint8)  # non-/32 size exercises pad
+    cls = segment(model, img[:, :, ::-1])
+    assert cls.shape == (40, 48) and cls.dtype == np.uint8
+    assert cls.max() < 8 and TEETH_CLASS == 7
+
+
+def test_teeth_masks_via_fpn_path(tmp_path, monkeypatch):
+    """create_teeth_masks must route through the FPN branch when an
+    EasyPortrait checkpoint exists (saved from the from-scratch arch)."""
+    import cv2
+    import torch
+    from instag_tpu.data_utils.easyportrait_fpn import EasyPortraitFPN
+    from instag_tpu.data_utils.priors import create_teeth_masks
+
+    ckpt = tmp_path / "fpn.pth"
+    torch.save({"state_dict": EasyPortraitFPN().state_dict()}, str(ckpt))
+    monkeypatch.setenv("INSTAG_EASYPORTRAIT_FPN", str(ckpt))
+    monkeypatch.setenv("INSTAG_TEETH_MODEL", str(tmp_path / "absent.pt"))
+
+    d = str(tmp_path)
+    ori = os.path.join(d, "ori_imgs")
+    os.makedirs(ori)
+    cv2.imwrite(os.path.join(ori, "0.jpg"), np.zeros((64, 64, 3), np.uint8))
+    create_teeth_masks(d, ori)
+    m = np.load(os.path.join(d, "teeth_mask", "0.npy"))
+    assert m.shape == (64, 64) and m.dtype == bool

@@ -123,3 +123,18 @@ def test_bfm_real_basis():
                               np.zeros(79, np.float32)))
     # facemodel.py normalization: mean-centered, /1e5 -> head-sized units
     assert abs(geo.mean()) < 1e-3 and 0.01 < np.abs(geo).max() < 10.0
+
+
+def test_easyportrait_fpn_real_checkpoint(tmp_path):
+    """The public fpn-fp-512.pth must load STRICTLY into the from-scratch
+    arch and segment a face-ish image without mmseg/mmcv."""
+    p = _need("fpn-fp-512.pth")
+    import cv2
+
+    from instag_tpu.data_utils.easyportrait_fpn import load_fpn_fp, segment
+    model = load_fpn_fp(p)
+    img = np.full((128, 128, 3), 128, np.uint8)
+    cv2.circle(img, (64, 64), 40, (180, 160, 200), -1)   # skin-ish blob
+    cls = segment(model, img)
+    assert cls.shape == (128, 128)
+    assert cls.max() < 8
