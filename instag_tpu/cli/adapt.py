@@ -25,7 +25,8 @@ from ..io.checkpoints import (load_bundle, save_bundle, save_gaussian_ply,
 
 
 def _warm_stage_compiles(mc, oc, fuse_iterations: int,
-                         mouth_init_num: int = 0) -> None:
+                         mouth_init_num: int = 0, dilate: bool = False,
+                         fast: bool = False) -> None:
     """Background thread: AOT-compile the mouth and fuse training blocks
     with this run's exact shapes while the face stage trains, so the later
     stages hit the persistent compile cache (~4 s) instead of paying the
@@ -55,7 +56,7 @@ def _warm_stage_compiles(mc, oc, fuse_iterations: int,
                                      PersonalizedMotionNetwork)
         from ..ops.rasterize import RasterizeConfig
         from ..train.common import build_frame_batch, load_training_frames
-        from ..train.fuse import make_fuse_block
+        from ..train.fuse import fuse_patch_sizes, make_fuse_block
         from ..train.mouth import MouthFlags, make_mouth_block
         from ..train.optim import pmf_optimizer, umf_optimizer
 
@@ -117,8 +118,7 @@ def _warm_stage_compiles(mc, oc, fuse_iterations: int,
                                                 onehot=False)
         lm, lp, _ = load_lpips_params()
         lpips_call = lambda a, b: lm.apply(lp, a, b)
-        patch_sizes = tuple(s for s in (32, 36, 40) if s <= min(h, w)) \
-            or (min(h, w),)
+        patch_sizes = fuse_patch_sizes(h, w)
         ocf = dataclasses.replace(oc, iterations=fuse_iterations,
                                   opacity_lr=1e-3)
         fblk = make_fuse_block(cfg, ocf, face_net_i, mouth_net_i, face_pmf_i,
@@ -142,6 +142,22 @@ def _warm_stage_compiles(mc, oc, fuse_iterations: int,
                    jnp.zeros((bl,), jnp.float32),
                    jnp.ones((bl,), jnp.float32)).compile()
         print("[adapt] warmed fuse-block executable", flush=True)
+
+        # ---- synthesis program (arg-based since round 3 => its cache key
+        # is shapes-only, so warming here saves the ~60-100 s compile the
+        # synthesis stage used to pay on every run) ----
+        if not fast:
+            from ..data.dataset import load_frames
+            from ..synthesize import make_synthesis_fn
+            vrecords = load_frames(mc.source_path, "val", mc.audio_extractor,
+                                   -1, audio_file=mc.audio)
+            if vrecords:
+                vbatch = build_frame_batch(vrecords)
+                synth = make_synthesis_fn(cfg, mc, dilate, False,
+                                          variants=True)
+                synth.lower(fst2, mst2, f_umf2, m_umf2, f_pmf2, m_pmf2,
+                            vbatch, jnp.int32(0)).compile()
+                print("[adapt] warmed synthesis executable", flush=True)
     except Exception as e:  # warming is best-effort; stages self-compile
         print(f"[adapt] stage warm-ahead skipped: {type(e).__name__}: {e}",
               flush=True)
@@ -198,7 +214,7 @@ def main(argv=None):
         import threading
         threading.Thread(target=_warm_stage_compiles,
                          args=(mc, oc, args.fuse_iterations,
-                               args.mouth_init_num),
+                               args.mouth_init_num, args.dilate, args.fast),
                          daemon=True).start()
 
     # ---- face ----

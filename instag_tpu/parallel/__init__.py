@@ -12,7 +12,12 @@ Two parallel axes map naturally onto a TPU mesh:
     stays replicated (its gradients all-reduce); the cross-identity
     contrastive term rides an all-gather of PMF outputs.
 
-Everything is jax.sharding + pjit — no hand-written collectives.
+  * ``tp`` — tensor-parallel rendering (``parallel.tensor_parallel``):
+    splats shard for projection, the projected rows all_gather (~2 MB),
+    tiles shard for selection + the fused composite; the backward's only
+    communication is one reduce-scatter of the per-splat gradient rows.
+
+Everything is jax.sharding + pjit/shard_map — no hand-written collectives.
 """
 
 from .mesh import make_mesh, replicate, shard_leading_axis  # noqa: F401

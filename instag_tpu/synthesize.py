@@ -45,10 +45,11 @@ def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
     uint8 [3, H, W, 3] array (single host fetch per frame — the variant
     videos the reference writes unless --fast, synthesize_fuse.py:81-90).
 
-    Note: for a whole-clip loop prefer ``make_clip_synthesis_fn`` — it bakes
-    the clip-constant model state into the executable so each frame is one
-    tiny-argument dispatch (flattening the large state pytrees per call costs
-    tens of ms of host time and dominates at 512px otherwise).
+    Pass the clip-constant model state as (device_put) ARGUMENTS, never via
+    closure: closed-over arrays bake into the HLO as constants, making the
+    program unique per checkpoint — the persistent compile cache then never
+    hits and every synthesis run repays a ~40-100 s compile (measured on the
+    tunneled v5e). Argument dispatch costs only device handles per frame.
     """
     # inference-mode nets: gather lookups (no backward -> one-hot not useful)
     face_net = MotionNetwork(model_cfg.audio_extractor, onehot=False)
@@ -117,23 +118,26 @@ def export_deformed_plys(cfg: RasterizeConfig, model_cfg: ModelConfig,
     face_state: G.GaussianState = fuse_bundle["face_state"]
     nf = min(n_frames, batch.num_frames)
 
+    # weights/audio ride as arguments (cache-keyed on shapes, not baked as
+    # per-checkpoint HLO constants — see make_synthesis_fn)
     @jax.jit
-    def deformed(i):
-        xyz0 = face_state.params.xyz
-        p = face_pmf_net.apply(fuse_bundle["face_pmf_params"], xyz0,
-                               batch.auds[i], batch.au_exp[i])
-        xyz = xyz0 + p["p_xyz"]
-        preds = face_net.apply(fuse_bundle["face_umf_params"], xyz,
-                               batch.auds[i], batch.au_exp[i])
-        d_xyz = preds["d_xyz"]
-        if personalized:
-            d_xyz = d_xyz + p["d_xyz"]
-        return xyz0 + d_xyz * p["p_scale"]
+    def deformed_all(xyz0, pmf_params, umf_params, auds, exps):
+        def one(aud, exp):
+            p = face_pmf_net.apply(pmf_params, xyz0, aud, exp)
+            xyz = xyz0 + p["p_xyz"]
+            preds = face_net.apply(umf_params, xyz, aud, exp)
+            d_xyz = preds["d_xyz"]
+            if personalized:
+                d_xyz = d_xyz + p["d_xyz"]
+            return xyz0 + d_xyz * p["p_scale"]
+        return jax.vmap(one)(auds, exps)
 
     # all frames in one program + ONE host fetch (the per-frame fetch of a
     # full padded state is ~30 MB of tunnel traffic each)
     all_xyz, host_state = jax.device_get(
-        (jax.jit(jax.vmap(deformed))(jnp.arange(nf)), face_state))
+        (deformed_all(face_state.params.xyz, fuse_bundle["face_pmf_params"],
+                      fuse_bundle["face_umf_params"], batch.auds[:nf],
+                      batch.au_exp[:nf]), face_state))
     for i in range(nf):
         st = host_state.replace(
             params=host_state.params.replace(xyz=all_xyz[i]))
@@ -171,14 +175,21 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
                              ply_dir or os.path.dirname(out_path or "."),
                              n_frames=dump_plys, personalized=personalized)
 
-    face_state: G.GaussianState = fuse_bundle["face_state"]
-    mouth_state: G.GaussianState = fuse_bundle["mouth_state"]
-    # bake clip-constant model state into the executable: per-frame dispatch
-    # then carries only the frame index
-    synth = jax.jit(lambda i: synth_full(
-        face_state, mouth_state, fuse_bundle["face_umf_params"],
-        fuse_bundle["mouth_umf_params"], fuse_bundle["face_pmf_params"],
-        fuse_bundle["mouth_pmf_params"], batch, i))
+    # model state and frame batch ride as jit ARGUMENTS (device_put once),
+    # NOT closure constants: baked-in constants make the HLO unique per
+    # trained checkpoint, so the persistent compile cache can never hit and
+    # every synthesis run pays a full ~40-100 s recompile of the fused
+    # program. As arguments the executable is keyed on shapes only (cache
+    # hits across runs/models) and per-frame dispatch carries device
+    # handles, not data.
+    clip_args = jax.device_put((
+        fuse_bundle["face_state"], fuse_bundle["mouth_state"],
+        fuse_bundle["face_umf_params"], fuse_bundle["mouth_umf_params"],
+        fuse_bundle["face_pmf_params"], fuse_bundle["mouth_pmf_params"],
+        batch))
+
+    def synth(i):
+        return synth_full(*clip_args, jnp.int32(i))
 
     # dispatch ahead and fetch in order: device compute, dispatch, and
     # host transfers overlap. (On a network-tunneled chip the per-frame

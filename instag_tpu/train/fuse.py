@@ -39,6 +39,15 @@ def _mask_lrs(lrs: dict, trainable: set) -> dict:
     return {k: (v if k in trainable else 0.0) for k, v in lrs.items()}
 
 
+def fuse_patch_sizes(h: int, w: int) -> tuple[int, ...]:
+    """The EXACT reference LPIPS patch-side set: random.randint(16,21)*2
+    (train_fuse_con.py:188-193) — six lax.switch branches in one block.
+    Single source of truth for the trainer AND cli/adapt's warm-ahead
+    compile (the set is part of the executable's cache key)."""
+    return tuple(s for s in (32, 34, 36, 38, 40, 42)
+                 if s <= min(h, w)) or (min(h, w),)
+
+
 def make_fuse_block(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
                     face_pmf_net, mouth_pmf_net, spatial_lr_scale,
                     lpips_fn=None, lpips_patches: tuple[int, ...] = ()):
@@ -175,8 +184,7 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     iterations = opt_cfg.iterations
     lpips_start = iterations // 2             # :42
-    patch_sizes = tuple(s for s in (32, 36, 40) if s <= min(h, w)) \
-        or (min(h, w),)
+    patch_sizes = fuse_patch_sizes(h, w)
 
     lpips_call = None
     if lpips_enabled:
