@@ -643,36 +643,104 @@ def _tiles_to_image_cm(cfg: RasterizeConfig, flat, ch: int):
     return img[:, :cfg.image_height, :cfg.image_width]
 
 
-@jax.custom_vjp
-def _tile_gather(feats: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """``feats[:, ids]`` with a faster backward.
+def _staircase(T: int, K: int) -> list[tuple[int, int]]:
+    """Static (tiles, slot-budget) groups for the sorted-staircase scatter.
 
-    The VJP of the [F, N] -> [F, T, K] lane gather is a scatter-add of
-    T*K index columns; XLA's single big scatter runs ~4.5 ms at 512²/30k
-    on v5e while the SAME updates split into 4 sequential scatters over
-    one accumulator run ~3.0 ms (measured; the split is exact — addition
-    reassociates per index column). Forward is unchanged.
+    Talking-head scenes are a few saturated tiles (the face) in a mostly
+    empty frame (measured on the bench scene: mean cnt 8, ~32 tiles at
+    cnt=K=256, the rest near zero), so after sorting tiles by count the
+    budget can shrink steeply: T/16 tiles keep the full K, the next 3T/16
+    get K/4, the rest K/8. 53k index columns instead of T*K=262k at
+    512²/K=256.
     """
-    return feats[:, ids]
+    t1 = max(T // 16, 1)
+    k2 = max(K // 4, min(32, K))
+    t2 = max(T // 4 - t1, 0)
+    k3 = max(K // 8, min(32, K))
+    groups = [(t1, K)]
+    if t2:
+        groups.append((t2, k2))
+    if T - t1 - t2 > 0:
+        groups.append((T - t1 - t2, k3))
+    return groups
 
 
-def _tile_gather_fwd(feats, ids):
-    return feats[:, ids], (ids, feats.shape)
+@jax.custom_vjp
+def _tile_gather(feats: jnp.ndarray, ids: jnp.ndarray,
+                 valid: jnp.ndarray) -> jnp.ndarray:
+    """``where(valid, feats[:, ids], 0)`` with an occupancy-adaptive VJP.
+
+    The scatter-add transpose of the [F, N] -> [F, T, K] gather costs ~9 ns
+    per index column on v5e whether the column is valid or not (~2.3 ms for
+    T*K=262k at 512²/K=256, scripts/quantify_scatter.py), yet talking-head
+    scenes leave most slots invalid: a handful of face tiles saturate K
+    while background tiles are empty. Top-k validity is a depth-sorted
+    prefix, so after sorting tiles by valid count a static budget staircase
+    (T/16 tiles @ K, 3T/16 @ K/4, rest @ K/8 — ``_staircase``) covers every
+    valid slot with ~5x fewer index columns; a ``lax.cond`` falls back to
+    the full 4-way scan-sharded scatter when the sorted counts overflow the
+    staircase, so the result is exact for ANY distribution. Skipped columns
+    are exactly zero (the forward masks invalid slots, so their cotangents
+    are zero as well) and addition reassociates per column.
+
+    Measured-and-rejected alternatives (scripts/quantify_scatter.py,
+    scripts/quantify_compact_parts.py): slot-chunk while_loop bounded by
+    max(cnt) — degenerates to the full sweep because the densest face tile
+    saturates K; sort-compaction ∝ Σcnt — searchsorted + column gathers
+    cost more than the scatter updates they save; one-hot MXU matmul —
+    FLOPs ∝ B·N.
+
+    Under vmap (``--data_parallel``) the batched predicate makes lax.cond
+    run both branches — DP pays ~1.25x the old scatter cost while the
+    serial path (the adaptation-time majority) gets the ~5x cut.
+    """
+    return _tile_gather_fwd(feats, ids, valid)[0]
+
+
+def _tile_gather_fwd(feats, ids, valid):
+    out = jnp.where(valid[None], feats[:, ids], 0.0)
+    return out, (ids, valid, feats.shape)
 
 
 def _tile_gather_bwd(res, g):
-    ids, (F, N) = res
+    ids, valid, (F, N) = res
     T, K = ids.shape
-    S = 4 if T % 4 == 0 else 1
-    gs = jnp.moveaxis(g.reshape(F, T // S, S, K), 2, 0)     # [S, F, T/S, K]
-    idss = jnp.moveaxis(ids.reshape(T // S, S, K), 1, 0)    # [S, T/S, K]
+    cnt = jnp.sum(valid, axis=-1, dtype=jnp.int32)          # [T]
+    order = jnp.argsort(-cnt)
+    groups = _staircase(T, K)
 
-    def body(acc, xs):
-        gg, ii = xs
-        return acc.at[:, ii].add(gg), None
+    gm = jnp.where(valid[None], g, 0.0)
 
-    acc = jax.lax.scan(body, jnp.zeros((F, N), g.dtype), (gs, idss))[0]
-    return acc, np.zeros(ids.shape, dtype=jax.dtypes.float0)
+    def run_staircase(gm):
+        acc = jnp.zeros((F, N), g.dtype)
+        start = 0
+        for tg, kg in groups:
+            tidx = jax.lax.slice_in_dim(order, start, start + tg)
+            acc = acc.at[:, ids[tidx, :kg]].add(gm[:, tidx, :kg])
+            start += tg
+        return acc
+
+    def run_full(gm):
+        S = 4 if T % 4 == 0 else 1
+        gs = jnp.moveaxis(gm.reshape(F, T // S, S, K), 2, 0)
+        idss = jnp.moveaxis(ids.reshape(T // S, S, K), 1, 0)
+
+        def body(acc, xs):
+            return acc.at[:, xs[1]].add(xs[0]), None
+
+        return jax.lax.scan(body, jnp.zeros((F, N), g.dtype),
+                            (gs, idss))[0]
+
+    # the staircase covers iff each later group's largest count fits its
+    # budget (group boundaries index the DESCENDING-sorted counts)
+    ok = jnp.bool_(True)
+    start = groups[0][0]
+    for tg, kg in groups[1:]:
+        ok = jnp.logical_and(ok, cnt[order[start]] <= kg)
+        start += tg
+    acc = jax.lax.cond(ok, run_staircase, run_full, gm)
+    return (acc, np.zeros(ids.shape, dtype=jax.dtypes.float0),
+            np.zeros(valid.shape, dtype=jax.dtypes.float0))
 
 
 _tile_gather.defvjp(_tile_gather_fwd, _tile_gather_bwd)
@@ -701,11 +769,9 @@ def _composite_tiles_pallas(cfg: RasterizeConfig, px, py, proj: Projected,
     F = feats.shape[0]
     f_pad = -(-F // 8) * 8
 
-    ftiles = _tile_gather(feats, ids)                    # [F, T, K]
-    # invalid slots: zero opacity => alpha 0 => no contribution, no grads
-    opac_row = jnp.where(valid, ftiles[5], 0.0)
-    ftiles = jax.lax.dynamic_update_slice_in_dim(
-        ftiles, opac_row[None], 5, axis=0)
+    # invalid slots come back zeroed in EVERY row (opacity 0 => alpha 0 =>
+    # no contribution, no grads; zero px/py/conic keep exp(power)=1 finite)
+    ftiles = _tile_gather(feats, ids, valid)             # [F, T, K]
     if f_pad > F:
         ftiles = jnp.pad(ftiles, ((0, f_pad - F), (0, 0), (0, 0)))
 
