@@ -216,14 +216,14 @@ def extract_torso_and_gt(base_dir: str, ori_imgs_dir: str) -> None:
 
 def extract_landmarks(ori_imgs_dir: str) -> None:
     """Task 7 (reference :54-86): 68-pt landmarks via face_alignment when
-    installed."""
+    installed, else the native from-scratch FAN tracker (landmarks.py) with
+    public 2DFAN-4 weights."""
     try:
         import face_alignment
-    except ImportError as e:
-        raise RuntimeError(
-            "face_alignment is not installed in this image; produce .lms "
-            "files with any 68-point detector (same layout: 68 rows of "
-            "'x y')") from e
+    except ImportError:
+        from .landmarks import extract_landmarks_fan
+        extract_landmarks_fan(ori_imgs_dir)
+        return
     import cv2
     try:
         fa = face_alignment.FaceAlignment(

@@ -88,7 +88,12 @@ for kind in depth normal; do
           "weights/sapiens_0.3b_${kind}.pt2"
 done
 
-# 7. LPIPS AlexNet (pip `lpips` bundles the linear heads; backbone from
+# 7. 2DFAN-4 landmark network (task 7; face_alignment's released weights,
+#    TorchScript archive) -> data_utils/landmarks.py (INSTAG_FAN_WEIGHTS)
+fetch "https://www.adrianbulat.com/downloads/python-fan/2DFAN4-cd938726ad.zip" \
+      weights/2DFAN4-cd938726ad.zip
+
+# 8. LPIPS AlexNet (pip `lpips` bundles the linear heads; backbone from
 #    torchvision) -> models/lpips.py (INSTAG_LPIPS_WEIGHTS)
 python - <<'PY'
 try:
@@ -108,4 +113,5 @@ cat <<'ENV'
   export INSTAG_SAPIENS_DEPTH=$PWD/weights/sapiens_0.3b_depth.pt2
   export INSTAG_SAPIENS_NORMAL=$PWD/weights/sapiens_0.3b_normal.pt2
   export INSTAG_EASYPORTRAIT_FPN=$PWD/weights/fpn-fp-512.pth
+  export INSTAG_FAN_WEIGHTS=$PWD/weights/2DFAN4-cd938726ad.zip
 ENV

@@ -324,3 +324,57 @@ def test_teeth_masks_via_fpn_path(tmp_path, monkeypatch):
     create_teeth_masks(d, ori)
     m = np.load(os.path.join(d, "teeth_mask", "0.npy"))
     assert m.shape == (64, 64) and m.dtype == bool
+
+
+def test_fan_landmarks_structure(tmp_path):
+    """From-scratch FAN: legacy-state-dict load path, output contract, and
+    the crop/heatmap-decode math (a delta heatmap at a known crop pixel must
+    map back to its image coordinate through the inverse transform)."""
+    torch = pytest.importorskip("torch")
+    from instag_tpu.data_utils.landmarks import (
+        build_fan, load_fan, crop, decode_heatmaps, bbox_to_center_scale,
+        _transform)
+
+    # tiny variant for speed; the checkpoint layout is what we pin
+    net = build_fan(num_modules=1)
+    keys = set(net.state_dict().keys())
+    for k in ["conv1.weight", "bn1.running_mean", "conv2.bn1.weight",
+              "m0.b2_plus_1.conv3.weight", "top_m_0.conv1.weight",
+              "conv_last0.weight", "bn_end0.bias", "l0.weight"]:
+        assert k in keys, k
+    p = tmp_path / "fan.pth"
+    torch.save({"state_dict": {"module." + k: v
+                               for k, v in net.state_dict().items()}}, p)
+    os.environ["INSTAG_FAN_WEIGHTS"] = str(p)
+    try:
+        net2 = load_fan()
+    finally:
+        del os.environ["INSTAG_FAN_WEIGHTS"]
+    # loaded legacy dict == saved weights; forward emits [1, 68, 64, 64]
+    x = torch.zeros(1, 3, 256, 256)
+    with torch.no_grad():
+        out = net2(x)
+    assert out[-1].shape == (1, 68, 64, 64)
+
+    # decode math: plant delta heatmaps, invert to image coordinates
+    rng = np.random.default_rng(0)
+    center, scale = bbox_to_center_scale([100.0, 80.0, 356.0, 336.0])
+    hm = np.zeros((68, 64, 64), np.float32)
+    px = rng.integers(2, 62, size=(68, 2))
+    for j, (cx, cy) in enumerate(px):
+        hm[j, cy, cx] = 1.0
+    lms = decode_heatmaps(hm, center, scale)
+    for j, (cx, cy) in enumerate(px):
+        expect = _transform([cx + 0.5, cy + 0.5], center, scale, 64, True)
+        err = np.abs(lms[j] - expect).max()
+        # the 0.25-pixel nudge moves at most 0.25 heatmap px = ~3.2 img px
+        assert err <= 0.3 * 200 * scale / 64, (j, err)
+
+    # crop geometry: a bright dot at the bbox center lands mid-crop
+    img = np.zeros((512, 512, 3), np.uint8)
+    img[int(center[1]) - 2:int(center[1]) + 3,
+        int(center[0]) - 2:int(center[0]) + 3] = 255
+    c = crop(img, center, scale)
+    assert c.shape == (256, 256, 3)
+    ys, xs = np.nonzero(c[..., 0] > 64)
+    assert abs(ys.mean() - 128) < 6 and abs(xs.mean() - 128) < 6

@@ -138,3 +138,24 @@ def test_easyportrait_fpn_real_checkpoint(tmp_path):
     cls = segment(model, img)
     assert cls.shape == (128, 128)
     assert cls.max() < 8
+
+
+def test_fan_real_weights(tmp_path):
+    """The public 2DFAN-4 release (TorchScript zip or legacy state dict)
+    must load and track landmarks on a synthetic face-ish frame."""
+    os.environ["INSTAG_FAN_WEIGHTS"] = _need("2DFAN4-cd938726ad.zip")
+    import cv2
+
+    from instag_tpu.data_utils.landmarks import LandmarkTracker
+    img = np.full((256, 256, 3), 90, np.uint8)
+    cv2.ellipse(img, (128, 140), (70, 95), 0, 0, 360, (190, 160, 140), -1)
+    cv2.circle(img, (100, 115), 10, (40, 30, 30), -1)   # eyes
+    cv2.circle(img, (156, 115), 10, (40, 30, 30), -1)
+    cv2.ellipse(img, (128, 185), (28, 12), 0, 0, 360, (120, 60, 60), -1)
+    tracker = LandmarkTracker()
+    lms = tracker(img)
+    assert lms.shape == (68, 2)
+    assert np.isfinite(lms).all()
+    # second frame goes through the previous-landmark bbox path
+    lms2 = tracker(img)
+    assert np.abs(lms2 - lms).mean() < 20.0
