@@ -557,20 +557,32 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         if (not long) and end % opt_cfg.opacity_reset_interval == 0 \
                 and end < densify_until:
             state, gopt = G.reset_opacity(state, gopt)
-        last_idx = int(idx_arr[-1][-1])
+        # host-side value (NOT int(idx_arr[...]): fetching a device array
+        # here syncs on the whole queued block — measured ~180 s of blocking
+        # over a 10k-iteration run — and stops the host running ahead)
+        last_idx = (len(idxs) * data_parallel - 1) if stream \
+            else idxs[-1][-1]
         if end > opt_cfg.densify_from_iter and end % interval == 0:
             state, gopt = _prune_green_and_depth(
                 state, gopt, blk_batch.camera_center[last_idx], end,
                 not long)
 
         if end % log_every < n:
-            dropped = int(state.dropped_children)
-            sat = _tile_saturation(cfg, state, blk_batch, last_idx)
-            recent = np.concatenate([np.asarray(b) for b in
-                                     losses[-max(1, log_every // interval):]])
+            # one round trip for everything the log line needs (each
+            # separate int()/float() fetch syncs on the device queue)
+            sat_dev = _tile_saturation_jit(
+                cfg, state, blk_batch.view_transform[last_idx],
+                blk_batch.full_proj_transform[last_idx],
+                blk_batch.camera_center[last_idx],
+                blk_batch.tanfovx[last_idx], blk_batch.tanfovy[last_idx])
+            dropped, n_alive, sat, *recent = jax.device_get(
+                (state.dropped_children, state.num_alive(), sat_dev,
+                 *losses[-max(1, log_every // interval):]))
+            dropped, sat = int(dropped), float(sat)
+            recent = np.concatenate([np.asarray(b) for b in recent])
             print(f"[face {end}/{iterations}] loss="
                   f"{recent[-log_every:].mean():.4f} "
-                  f"pts={int(state.num_alive())} "
+                  f"pts={int(n_alive)} "
                   + (f"capacity_dropped={dropped} " if dropped else "")
                   + (f"tile_sat={sat*100:.1f}% " if sat > 0 else "")
                   + f"t={time.time()-t0:.0f}s", flush=True)

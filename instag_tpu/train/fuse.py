@@ -229,8 +229,9 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         losses.append(block_losses[:n])    # lazy (see train/face.py)
         it = block_end + 1
         if block_end % log_every < n:
-            recent = np.concatenate([np.asarray(b) for b in
-                                     losses[-max(1, log_every // block_len):]])
+            # one round trip for all recent loss blocks (see train/face.py)
+            recent = np.concatenate([np.asarray(b) for b in jax.device_get(
+                losses[-max(1, log_every // block_len):])])
             print(f"[fuse {block_end}/{iterations}] "
                   f"loss={recent[-log_every:].mean():.4f} "
                   f"t={time.time()-t0:.0f}s", flush=True)

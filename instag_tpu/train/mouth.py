@@ -318,18 +318,22 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 extent, 20.0 if end > opt_cfg.opacity_reset_interval else None,
                 opt_cfg.percent_dense)
             if end > 2000:
-                state = _soften_green(
-                    state, blk_batch.camera_center[int(idx_arr[-1])])
+                # host-side index (int(idx_arr[-1]) would sync on the whole
+                # queued block — see train/face.py)
+                li = (len(idxs) - 1) if stream else idxs[-1]
+                state = _soften_green(state, blk_batch.camera_center[li])
         if (not long) and end % opt_cfg.opacity_reset_interval == 0 \
                 and end < densify_until:
             state, gopt = G.reset_opacity(state, gopt)
 
         if end % log_every < n:
-            recent = np.concatenate([np.asarray(b) for b in
-                                     losses[-max(1, log_every // interval):]])
+            n_alive, *recent = jax.device_get(
+                (state.num_alive(),
+                 *losses[-max(1, log_every // interval):]))
+            recent = np.concatenate([np.asarray(b) for b in recent])
             print(f"[mouth {end}/{iterations}] loss="
                   f"{recent[-log_every:].mean():.4f} "
-                  f"pts={int(state.num_alive())} t={time.time()-t0:.0f}s",
+                  f"pts={int(n_alive)} t={time.time()-t0:.0f}s",
                   flush=True)
 
     losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \

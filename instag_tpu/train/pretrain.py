@@ -572,17 +572,19 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 meta["extent"],
                 20.0 if end > opt_cfg.opacity_reset_interval else None,
                 opt_cfg.percent_dense)
-            cam_center = (batch.camera_center[idxs_arr[-1]] if stream
+            cam_center = (batch.camera_center[len(idxs) - 1] if stream
                           else batch.camera_center[idxs[-1]])
             state, gopt = _prune_green(state, gopt, cam_center)
         states[sid], gopts[sid] = state, gopt
 
         if end % log_every < nsteps:
-            recent = np.concatenate(
-                [np.asarray(b) for b in losses[-max(1, log_every // nsteps):]])
+            pts, *recent = jax.device_get(
+                (tuple(s_.num_alive() for s_ in states),
+                 *losses[-max(1, log_every // nsteps):]))
+            recent = np.concatenate([np.asarray(b) for b in recent])
             print(f"[pretrain_face {end}/{iterations}] "
                   f"loss={recent.mean():.4f} "
-                  f"pts={[int(s_.num_alive()) for s_ in states]} "
+                  f"pts={[int(p) for p in pts]} "
                   f"t={time.time()-t0:.0f}s", flush=True)
 
     losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
@@ -1034,7 +1036,7 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 state, gopt, umf_params, umf_opt_state, pmf_stack,
                 pmf_opt_stack, ema_params, sid, other, face_states[sid],
                 face_umf_params, batch, idxs_arr, its_arr, flags)
-        losses.extend(np.asarray(block_losses).tolist())
+        losses.append(block_losses)        # device array; materialize lazily
         nsteps = len(steps)
         it = block_end + 1
         end = block_end
@@ -1050,16 +1052,22 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 meta["extent"],
                 20.0 if end > opt_cfg.opacity_reset_interval else None,
                 opt_cfg.percent_dense)
-            cam_center = (batch.camera_center[int(idxs_arr[-1])] if stream
+            # host-side index (int(idxs_arr[-1]) would sync on the queued
+            # block — see train/face.py)
+            cam_center = (batch.camera_center[len(idxs) - 1] if stream
                           else batch.camera_center[idxs[-1]])
             state = _soften_green(state, cam_center)
         states[sid], gopts[sid] = state, gopt
 
         if end % log_every < nsteps:
+            recent = np.concatenate(
+                [np.asarray(b) for b in losses[-max(1, log_every // nsteps):]])
             print(f"[pretrain_mouth {end}/{iterations}] "
-                  f"loss={np.mean(losses[-min(log_every, len(losses)):]):.4f} "
+                  f"loss={recent[-log_every:].mean():.4f} "
                   f"t={time.time()-t0:.0f}s", flush=True)
 
+    losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
+        if losses else []
     return dict(umf_params=umf_params, ema_params=ema_params,
                 umf_opt_state=umf_opt_state, pmf_stack=pmf_stack,
                 states=states, gopts=gopts, data_list=data_list,
