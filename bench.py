@@ -258,7 +258,7 @@ def main():
                   valid=ones)
     xs = (batch, jnp.zeros((nsteps, 1), jnp.int32),
           jnp.arange(1, nsteps + 1, dtype=jnp.int32), flags,
-          jnp.zeros((nsteps,), jnp.int32))
+          jnp.zeros((nsteps,), jnp.int32), {})
     carry = (face_state, gopt, tr_nets["face_umf_params"], umf_opt,
              tr_nets["face_pmf_params"], pmf_opt)
     blk_c = blk.lower(*carry, *xs).compile()

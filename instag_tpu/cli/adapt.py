@@ -117,7 +117,7 @@ def _warm_stage_compiles(mc, oc, fuse_iterations: int,
         mouth_pmf_i = PersonalizedMotionNetwork("mouth", mc.audio_extractor,
                                                 onehot=False)
         lm, lp, _ = load_lpips_params()
-        lpips_call = lambda a, b: lm.apply(lp, a, b)
+        lpips_call = lambda lp_, a, b: lm.apply(lp_, a, b)
         patch_sizes = fuse_patch_sizes(h, w)
         ocf = dataclasses.replace(oc, iterations=fuse_iterations,
                                   opacity_lr=1e-3)
@@ -140,7 +140,7 @@ def _warm_stage_compiles(mc, oc, fuse_iterations: int,
                    jnp.arange(1, bl + 1, dtype=jnp.int32),
                    jnp.zeros((bl,), jnp.int32),
                    jnp.zeros((bl,), jnp.float32),
-                   jnp.ones((bl,), jnp.float32)).compile()
+                   jnp.ones((bl,), jnp.float32), lp).compile()
         print("[adapt] warmed fuse-block executable", flush=True)
 
         # ---- synthesis program (arg-based since round 3 => its cache key

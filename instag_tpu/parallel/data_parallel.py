@@ -44,7 +44,7 @@ def make_dp_face_step(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
                       spatial_lr_scale, mesh, umf_tx, pmf_tx,
                       has_priors: bool = False, lpips_fn=None,
                       lpips_patches: tuple[int, ...] = (),
-                      long: bool = False):
+                      long: bool = False, lpips_params=None):
     """Build the full-loss data-parallel face training step.
 
     Returns ``step(state, gopt, umf_params, umf_opt_state, pmf_params,
@@ -67,7 +67,8 @@ def make_dp_face_step(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
                             (flags.align, flags.use_regs, flags.use_sapiens,
                              flags.use_depth, flags.hair_paint,
                              flags.use_lpips, flags.valid)]),
-                    jnp.zeros((1,), jnp.int32))
+                    jnp.zeros((1,), jnp.int32),
+                    {} if lpips_params is None else lpips_params)
         return out[:-1] + (out[-1][0],)
 
     return step

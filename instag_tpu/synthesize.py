@@ -191,9 +191,12 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
     def synth(i):
         return synth_full(*clip_args, jnp.int32(i))
 
-    # dispatch ahead and fetch in order: device compute, dispatch, and
-    # host transfers overlap. (On a network-tunneled chip the per-frame
-    # image fetch dominates; device-only throughput is reported by bench.py.)
+    # dispatch ahead and fetch in half-window batches: when the dispatch
+    # queue fills, the OLDER half fetches as ONE jax.device_get (one RPC
+    # round trip per window//2 frames instead of per frame — the per-frame
+    # fetch RTT was the gap between dispatch-path and device-only
+    # throughput on the network-tunneled chip) while the newer half keeps
+    # the device busy through the transfer.
     frames = []
     np.asarray(synth(0))                 # compile
     t0 = time.time()
@@ -202,8 +205,9 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
     for i in range(batch.num_frames):
         pending.append(synth(i))
         if len(pending) >= window:
-            frames.append(np.asarray(pending.pop(0)))
-    frames.extend(np.asarray(p) for p in pending)
+            frames.extend(jax.device_get(pending[:window // 2]))
+            pending = pending[window // 2:]
+    frames.extend(jax.device_get(pending))
     dt = time.time() - t0
     achieved_fps = batch.num_frames / max(dt, 1e-9)
 

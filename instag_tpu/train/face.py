@@ -98,7 +98,7 @@ def make_face_block(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
         row_sharding = NamedSharding(mesh, PartitionSpec("dp"))
 
     def step_loss(st, umf_p, pmf_p, off, batch: FrameBatch, i, flags,
-                  patch_idx):
+                  patch_idx, lp):
         cam = batch.camera(i)
         gt = batch.gt_image(i)
         aud = batch.auds[i]
@@ -187,7 +187,7 @@ def make_face_block(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
                     crop_g = jax.lax.dynamic_slice(gt_t, (0, cx, cy),
                                                    (3, lips_crop, lips_crop))
                     term += 0.01 * lpips_fn(
-                        crop_i[None] * 2 - 1, crop_g[None] * 2 - 1).mean()
+                        lp, crop_i[None] * 2 - 1, crop_g[None] * 2 - 1).mean()
                 img_t = jnp.where(lips_f[None] > 0, GREEN[:, None, None],
                                   img_t)
                 gt_t = jnp.where(lips_f[None] > 0, GREEN[:, None, None],
@@ -196,7 +196,7 @@ def make_face_block(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
                 def lp_branch(ps):
                     def run(imgs):
                         a, b = imgs
-                        return lpips_fn(patchify(a * 2 - 1, ps),
+                        return lpips_fn(lp, patchify(a * 2 - 1, ps),
                                         patchify(b * 2 - 1, ps)).mean()
                     return run
 
@@ -215,7 +215,12 @@ def make_face_block(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
     def block(state, gopt, umf_params, umf_opt_state, pmf_params,
               pmf_opt_state, batch: FrameBatch, idxs, its, flags: Flags,
-              patch_idxs):
+              patch_idxs, lpips_params):
+        # lpips_params is a traced ARGUMENT, not a closure capture: a
+        # closed-over ~10 MB AlexNet tree is embedded into the MLIR as
+        # constants at every lowering — measured ~7 s per lowering of
+        # device->host fetch + serialization on the tunneled chip, paid
+        # even on compile-cache hits (lowering precedes the cache lookup)
         def one(carry, xs):
             (state, gopt, umf_params, umf_opt_state, pmf_params,
              pmf_opt_state) = carry
@@ -237,7 +242,7 @@ def make_face_block(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
                     return step_loss(
                         st, umf_p, pmf_p, off_b,
                         jax.tree.map(lambda x: x[None], row), 0, flag,
-                        patch_idx)
+                        patch_idx, lpips_params)
 
                 losses, outs = jax.vmap(per_frame)(rows, off)
                 return jnp.mean(losses), outs
@@ -448,12 +453,12 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         test_every = test_every or max(iterations // 5, 1)
 
     patch_sizes = face_patch_sizes(h, w)
-    lpips_call = None
+    lpips_call, lpips_params = None, {}
     if lpips_enabled:
         lpips_model, lpips_params, _lpips_real = load_lpips_params()
 
-        def lpips_call(a, b):
-            return lpips_model.apply(lpips_params, a, b)
+        def lpips_call(lp, a, b):
+            return lpips_model.apply(lp, a, b)
 
     # ONE compiled executable covers the whole schedule: the LPIPS phase is
     # a per-step lax.cond inside the block (zero compute before lpips_start,
@@ -534,7 +539,8 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                                pmf_params, pmf_opt_state, blk_batch,
                                idx_arr,
                                jnp.asarray(its_arr, jnp.int32), flags,
-                               jnp.asarray(patch_arr, jnp.int32))
+                               jnp.asarray(patch_arr, jnp.int32),
+                               lpips_params)
         # keep losses un-materialized: fetching them would block on the
         # device every block; the host instead runs ahead preparing and
         # dispatching the next block (materialized only at log points)

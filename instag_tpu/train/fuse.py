@@ -55,7 +55,7 @@ def make_fuse_block(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
     def _step_inner(face_state, face_gopt, mouth_state, mouth_gopt,
                     face_umf_params, mouth_umf_params, face_pmf_params,
                     mouth_pmf_params, batch: FrameBatch, i, it, patch_idx,
-                    use_lpips):
+                    use_lpips, lp):
         cam = batch.camera(i)
         gt = batch.gt_image(i)
         aud = batch.auds[i]
@@ -106,7 +106,7 @@ def make_fuse_block(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
                     def lp_branch(ps):
                         def run(imgs):
                             a, b = imgs
-                            return lpips_fn(patchify(a * 2 - 1, ps),
+                            return lpips_fn(lp, patchify(a * 2 - 1, ps),
                                             patchify(b * 2 - 1, ps)).mean()
                         return run
                     return 0.05 * jax.lax.switch(
@@ -138,12 +138,15 @@ def make_fuse_block(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
     def block(face_state, face_gopt, mouth_state, mouth_gopt,
               face_umf_params, mouth_umf_params, face_pmf_params,
               mouth_pmf_params, batch: FrameBatch, idxs, its, patch_idxs,
-              use_lpips_arr, valid_arr):
+              use_lpips_arr, valid_arr, lpips_params):
+        # lpips_params is a traced argument, not a closure capture — a
+        # closed-over AlexNet tree is re-embedded as MLIR constants at
+        # every lowering (see train/face.py make_face_block)
         def one(carry, xs):
             i, it, pidx, ul, valid = xs
             out = _step_inner(*carry, face_umf_params, mouth_umf_params,
                               face_pmf_params, mouth_pmf_params, batch,
-                              i, it, pidx, ul)
+                              i, it, pidx, ul, lpips_params)
             # padding steps (valid=0) discard the update (fixed block shape)
             new_carry = jax.tree.map(
                 lambda n, o: jnp.where(valid > 0, n, o), out[:-1], carry)
@@ -186,12 +189,12 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     lpips_start = iterations // 2             # :42
     patch_sizes = fuse_patch_sizes(h, w)
 
-    lpips_call = None
+    lpips_call, lpips_params = None, {}
     if lpips_enabled:
         lpips_model, lpips_params, _lpips_real = load_lpips_params()
 
-        def lpips_call(a, b):
-            return lpips_model.apply(lpips_params, a, b)
+        def lpips_call(lp, a, b):
+            return lpips_model.apply(lp, a, b)
 
     # ONE compiled block: LPIPS second half rides a per-step lax.cond
     run = make_fuse_block(cfg, opt_cfg, face_net, mouth_net, face_pmf,
@@ -225,7 +228,7 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             face_bundle["pmf_params"], mouth_bundle["pmf_params"],
             batch, jnp.asarray(idxs, jnp.int32), jnp.asarray(steps, jnp.int32),
             jnp.asarray(pidx, jnp.int32), jnp.asarray(ul, jnp.float32),
-            jnp.asarray(valid, jnp.float32))
+            jnp.asarray(valid, jnp.float32), lpips_params)
         losses.append(block_losses[:n])    # lazy (see train/face.py)
         it = block_end + 1
         if block_end % log_every < n:

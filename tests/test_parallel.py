@@ -115,7 +115,7 @@ def test_dp_face_step_matches_serial():
                   jax.tree.map(jnp.array, pmf_opt),
                   batch, jnp.asarray(idx_rows, jnp.int32),
                   jnp.ones((n,), jnp.int32),
-                  flags, jnp.zeros((n,), jnp.int32))
+                  flags, jnp.zeros((n,), jnp.int32), {})
         return out
 
     # one dp=4 step over frames [0,1,2,3]
