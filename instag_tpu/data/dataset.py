@@ -83,11 +83,50 @@ def _camera_matrices(c2w_gl: np.ndarray, fovx: float, fovy: float):
     return view_T, full_T, campos, R, T
 
 
+_FRAMES_CACHE: "dict[tuple, list[FrameRecord]]" = {}
+_FRAMES_CACHE_MAX = 3
+_FRAMES_LOCK = None  # created lazily (threading import kept off module load)
+
+
 def load_frames(path: str, split: str = "train",
                 audio_extractor: str = "deepspeech", n_views: int = -1,
                 audio_file: str = "", preload: bool = True,
                 with_priors: bool | None = None) -> list[FrameRecord]:
-    """Read one split into FrameRecords (scene/dataset_readers.py:99-326)."""
+    """Read one split into FrameRecords (scene/dataset_readers.py:99-326).
+
+    Results are memoized per (path, split, args, transforms-mtime): the
+    single-process adaptation chain (cli/adapt) loads the SAME 250-frame
+    split in each of its four stages, and decoding ~750 images costs tens
+    of seconds per stage. Callers share the returned list — treat it as
+    immutable (every caller does; concatenation builds new lists).
+    """
+    global _FRAMES_LOCK
+    if _FRAMES_LOCK is None:
+        import threading
+        _FRAMES_LOCK = threading.Lock()
+    tf = os.path.join(path, f"transforms_{split}.json")
+    key = (os.path.abspath(path), split, audio_extractor, n_views,
+           audio_file, preload, with_priors,
+           os.path.getmtime(tf) if os.path.exists(tf) else 0.0)
+    # the lock covers the load too: cli/adapt's warm-ahead thread asks for
+    # the same split the face stage is loading — it should wait and share,
+    # not decode the images a second time
+    with _FRAMES_LOCK:
+        if key in _FRAMES_CACHE:
+            return _FRAMES_CACHE[key]
+        records = _load_frames_uncached(path, split, audio_extractor,
+                                        n_views, audio_file, preload,
+                                        with_priors)
+        while len(_FRAMES_CACHE) >= _FRAMES_CACHE_MAX:
+            _FRAMES_CACHE.pop(next(iter(_FRAMES_CACHE)))
+        _FRAMES_CACHE[key] = records
+        return records
+
+
+def _load_frames_uncached(path: str, split: str,
+                          audio_extractor: str, n_views: int,
+                          audio_file: str, preload: bool,
+                          with_priors: bool | None) -> list[FrameRecord]:
     tf = os.path.join(path, f"transforms_{split}.json")
     with open(tf) as f:
         contents = json.load(f)

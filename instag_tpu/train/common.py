@@ -133,9 +133,44 @@ def _stack_records(records, with_priors: bool, as_numpy: bool = False):
     return kwargs
 
 
+_BATCH_CACHE: list = []   # [(records_list, fields_dict)] — at most 2 scenes
+_BATCH_CACHE_MAX = 2
+
+
 def build_frame_batch(records: list[FrameRecord],
                       with_priors: bool = False) -> FrameBatch:
-    return FrameBatch(**_stack_records(records, with_priors, as_numpy=False))
+    """Stack records into a device-resident FrameBatch.
+
+    Device uploads are memoized per records-list identity (load_frames
+    returns a shared cached list): the adaptation chain's four stages would
+    otherwise re-upload the same ~hundreds of MB of frames through the
+    device tunnel. Priors (normal/depth) are added to a cached entry on
+    demand; a ``with_priors=False`` request on a cached-with-priors scene
+    still returns ``normal=depth=None`` (trainers key behavior on it).
+    No trainer donates batch buffers to jit, so sharing arrays is safe.
+    """
+    for recs, fields in _BATCH_CACHE:
+        if recs is records:
+            break
+    else:
+        fields = {}
+        _BATCH_CACHE.append((records, fields))
+        while len(_BATCH_CACHE) > _BATCH_CACHE_MAX:
+            _BATCH_CACHE.pop(0)
+    if "image" not in fields:
+        fields.update(_stack_records(records, with_priors=False,
+                                     as_numpy=False))
+    want_priors = with_priors and records[0].normal is not None
+    if want_priors and fields.get("normal") is None:
+        fields["normal"] = jnp.asarray(
+            np.stack([r.normal for r in records]).astype(np.float32))
+        fields["depth"] = jnp.asarray(
+            np.stack([r.depth for r in records]).astype(np.float32))
+    out = dict(fields)
+    if not want_priors:
+        out["normal"] = None
+        out["depth"] = None
+    return FrameBatch(**out)
 
 
 def rgb_loss(image: jnp.ndarray, gt: jnp.ndarray,
