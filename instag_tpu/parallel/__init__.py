@@ -18,6 +18,13 @@ Two parallel axes map naturally onto a TPU mesh:
     communication is one reduce-scatter of the per-splat gradient rows.
 
 Everything is jax.sharding + pjit/shard_map — no hand-written collectives.
+
+Multi-host runs (``parallel.multihost``) keep ICI for the training
+collectives and use DCN only for per-host input assembly
+(``make_array_from_process_local_data``) and checkpoint gathers.
 """
 
 from .mesh import make_mesh, replicate, shard_leading_axis  # noqa: F401
+from .multihost import (  # noqa: F401
+    MultihostFrameStore, frame_shard, global_mesh, init_multihost,
+    make_global_batch, sample_local_rows, save_bundle_multihost)

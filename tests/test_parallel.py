@@ -356,3 +356,87 @@ def test_identity_parallel_mouth_loss_matches_serial():
     idp_losses = np.asarray(out[-1])
     np.testing.assert_allclose(idp_losses, np.asarray(serial_losses),
                                rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# multi-host (DCN) input pipeline — single-process degenerate on the
+# virtual mesh (multi-process runtimes can't be simulated in-process, so
+# the per-host sharding math is pinned directly)
+# ---------------------------------------------------------------------------
+
+def test_frame_shard_partitions_exactly():
+    from instag_tpu.parallel import frame_shard
+    for n, P in [(250, 4), (7, 3), (8, 8), (5, 8), (1000, 16)]:
+        covered = []
+        for p in range(P):
+            s = frame_shard(n, p, P)
+            covered.extend(range(s.start, s.stop))
+            assert s.stop >= s.start
+        assert covered == list(range(n)), (n, P)
+        sizes = [frame_shard(n, p, P).stop - frame_shard(n, p, P).start
+                 for p in range(P)]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_sample_local_rows_stay_in_shard():
+    from instag_tpu.parallel import frame_shard, sample_local_rows
+    rng = np.random.default_rng(0)
+    s = frame_shard(250, 2, 4)
+    rows = sample_local_rows(rng, s, 64)
+    assert rows.min() >= s.start and rows.max() < s.stop
+
+
+def test_make_global_batch_matches_device_put():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from instag_tpu.parallel import make_global_batch
+    from instag_tpu.parallel.multihost import global_mesh
+    mesh = global_mesh()
+    rng = np.random.default_rng(1)
+    arrays = {
+        "image": rng.integers(0, 255, (8, 4, 4, 3)).astype(np.uint8),
+        "auds": rng.normal(size=(8, 2, 3)).astype(np.float32),
+        "normal": None,
+    }
+    # stay a dict (FrameBatch needs every field); monkeypatch-free check
+    # via the same put path make_global_batch uses
+    sharding = NamedSharding(mesh, P("dp"))
+    for k, v in arrays.items():
+        if v is None:
+            continue
+        g = jax.make_array_from_process_local_data(sharding, v)
+        ref = jax.device_put(v, sharding)
+        assert g.sharding.is_equivalent_to(ref.sharding, v.ndim)
+        np.testing.assert_array_equal(np.asarray(g), v)
+
+
+def test_multihost_store_and_bundle(tmp_path):
+    import tempfile
+    from instag_tpu.data.synthetic import generate_scene
+    from instag_tpu.data.dataset import load_frames
+    from instag_tpu.parallel import (MultihostFrameStore,
+                                     save_bundle_multihost)
+    from instag_tpu.parallel.multihost import global_mesh
+    from instag_tpu.io.checkpoints import load_bundle
+    from instag_tpu.train.common import build_frame_batch
+
+    d = tempfile.mkdtemp()
+    generate_scene(d, n_frames=8, size=16, n_val=2)
+    records = load_frames(d, "train", "deepspeech", 8)
+    mesh = global_mesh()
+    store = MultihostFrameStore(records)  # 1 process -> full shard
+    assert store.shard == slice(0, 8)
+
+    idxs = np.array([3, 1, 4, 1, 5, 0, 2, 6])
+    blk = store.gather_global(idxs, mesh)
+    ref = build_frame_batch([records[i] for i in idxs])
+    np.testing.assert_array_equal(np.asarray(blk.image),
+                                  np.asarray(ref.image))
+    np.testing.assert_allclose(np.asarray(blk.auds), np.asarray(ref.auds))
+    assert not blk.image.sharding.is_fully_replicated
+
+    p = str(tmp_path / "mh_bundle.pkl")
+    tree = {"a": blk.auds, "b": np.float32(2.5), "it": 7}
+    save_bundle_multihost(p, tree)
+    back = load_bundle(p)
+    np.testing.assert_allclose(back["a"], np.asarray(blk.auds), rtol=1e-6)
+    assert back["it"] == 7
