@@ -209,8 +209,14 @@ def main(argv=None):
 
     # overlap the mouth/fuse XLA compiles with the face stage (cold-run
     # warm-up: each big block costs ~45-60 s to compile; warming populates
-    # the persistent cache so the real stages compile in seconds)
-    if not (args.long or args.no_warm_ahead):
+    # the persistent cache so the real stages compile in seconds).
+    # Under --adaptive_capacity the runtime shapes depend on how the cloud
+    # prunes, so pre-built executables would mostly miss — and the warm
+    # thread's compile RPCs measurably stall the face stage's dispatches
+    # over a tunneled device (BASELINE.md r3) — skip it.
+    if getattr(mc, "adaptive_capacity", False):
+        pass
+    elif not (args.long or args.no_warm_ahead):
         import threading
         threading.Thread(target=_warm_stage_compiles,
                          args=(mc, oc, args.fuse_iterations,

@@ -33,6 +33,9 @@ class ModelConfig:
     # TPU additions
     capacity: int = 0         # 0 => auto (16x init_num, tiled to 1024)
     max_per_tile: int = 256   # rasterizer per-tile splat budget
+    # pack/resize the padded cloud to occupancy at log points (adaptation
+    # trainers); resolve_capacity() stays the hard ceiling
+    adaptive_capacity: bool = True
 
     def resolve_capacity(self) -> int:
         if self.capacity > 0:
@@ -76,8 +79,13 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix="") -> None:
     for f in dataclasses.fields(cls):
         name = f"--{prefix}{f.name}"
         if f.type == "bool" or f.type is bool:
-            parser.add_argument(name, action="store_true",
-                                default=f.default)
+            if f.default:  # default-True bools get a --no_* disable switch
+                parser.add_argument(f"--no_{prefix}{f.name}",
+                                    dest=f"{prefix}{f.name}",
+                                    action="store_false", default=True)
+            else:
+                parser.add_argument(name, action="store_true",
+                                    default=f.default)
         else:
             parser.add_argument(name, type=type(f.default), default=f.default)
 

@@ -391,3 +391,68 @@ def reset_opacity(state: GaussianState, opt: AdamState
                                          0.01))
     params = state.params.replace(opacity=new_op)
     return state.replace(params=params), _zero_moments_field(opt, "opacity")
+
+
+# --------------------------------------------------------------------------
+# Adaptive capacity: every padded op (projection, selection, motion nets,
+# Adam) costs by CAPACITY, not by live points, and adaptation clouds
+# routinely prune to a few hundred splats inside a 32k pad. Packing alive
+# slots to a pow2 capacity that fits 4x the occupancy keeps the step cost
+# proportional to the actual cloud. A resize is a new executable shape —
+# the policy is hysteretic (grow eagerly, shrink only past 2x slack) so at
+# most a handful of compiles happen per run, all served by the persistent
+# cache on reruns. (The reference grows its tensors unboundedly per
+# densify, scene/gaussian_model.py:534-590 — a dynamic-shape model TPUs
+# don't have; this is the static-shape equivalent.)
+# --------------------------------------------------------------------------
+
+def _pow2ceil(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def adaptive_capacity_target(n_alive: int, capacity: int, cap_max: int,
+                             min_cap: int = 4096, headroom: int = 4,
+                             allow_shrink: bool = True) -> int:
+    """Next capacity for ``n_alive`` live slots; returns ``capacity`` when
+    no resize is warranted. Grow: to fit ``headroom * alive`` (and at least
+    2x when occupancy passes 70% — children beyond capacity are dropped,
+    so growth must outrun densification between checks). Shrink: only when
+    the target clears a 2x hysteresis band, and only when ``allow_shrink``
+    (trainers pass a sparse cadence: every shape is a new executable, so a
+    gradually-decaying cloud must not shed one octave per check)."""
+    want = min(max(_pow2ceil(headroom * max(n_alive, 1)), min_cap), cap_max)
+    if n_alive > 0.7 * capacity:
+        want = max(want, min(capacity * 2, cap_max))
+    if want > capacity:
+        return want
+    if allow_shrink and want <= capacity // 2:
+        return want
+    return capacity
+
+
+@partial(jax.jit, static_argnums=(2,))
+def pack_resize(state: GaussianState, opt: AdamState, new_capacity: int
+                ) -> tuple[GaussianState, AdamState]:
+    """Pack alive slots to the front and resize every [C, ...] buffer to
+    ``new_capacity`` (exact: a permutation of slots plus dead-slot
+    truncation/padding; Adam moments travel with their slots). Caller must
+    ensure ``n_alive <= new_capacity`` — the policy's headroom does."""
+    cap = state.capacity
+    order = jnp.argsort(~state.alive, stable=True)
+
+    def take(x):
+        y = x[order]
+        if new_capacity <= cap:
+            return y[:new_capacity]
+        widths = [(0, new_capacity - cap)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(y, widths)
+
+    new_state = state.replace(
+        params=jax.tree.map(take, state.params),
+        alive=take(state.alive),
+        max_radii2d=take(state.max_radii2d),
+        xyz_grad_accum=take(state.xyz_grad_accum),
+        denom=take(state.denom))
+    new_opt = AdamState(mu=jax.tree.map(take, opt.mu),
+                        nu=jax.tree.map(take, opt.nu), step=opt.step)
+    return new_state, new_opt

@@ -226,26 +226,38 @@ def make_face_block(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
              pmf_opt_state) = carry
             i, it, patch_idx, flag = xs          # i: [B] frame indices
 
-            offset0 = jnp.zeros((dp, state.capacity, 2))
-            rows = jax.tree.map(lambda x: x[i], batch)   # [B, ...] gather
-            if row_sharding is not None:
-                rows = jax.tree.map(
-                    lambda x: jax.lax.with_sharding_constraint(
-                        x, row_sharding), rows)
-                offset0 = jax.lax.with_sharding_constraint(
-                    offset0, row_sharding)
+            if dp == 1:
+                # no vmap for the serial path: batching the whole graph
+                # over B=1 costs +3.6 ms/step at 512² on v5e (measured —
+                # batched [1, ...] layouts defeat XLA fusions through the
+                # composite/SSIM backward)
+                offset0 = jnp.zeros((state.capacity, 2))
 
-            def loss_fn(gparams, umf_p, pmf_p, off):
-                st = state.replace(params=gparams)
+                def loss_fn(gparams, umf_p, pmf_p, off):
+                    return step_loss(state.replace(params=gparams), umf_p,
+                                     pmf_p, off, batch, i[0], flag,
+                                     patch_idx, lpips_params)
+            else:
+                offset0 = jnp.zeros((dp, state.capacity, 2))
+                rows = jax.tree.map(lambda x: x[i], batch)  # [B, ...] gather
+                if row_sharding is not None:
+                    rows = jax.tree.map(
+                        lambda x: jax.lax.with_sharding_constraint(
+                            x, row_sharding), rows)
+                    offset0 = jax.lax.with_sharding_constraint(
+                        offset0, row_sharding)
 
-                def per_frame(row, off_b):
-                    return step_loss(
-                        st, umf_p, pmf_p, off_b,
-                        jax.tree.map(lambda x: x[None], row), 0, flag,
-                        patch_idx, lpips_params)
+                def loss_fn(gparams, umf_p, pmf_p, off):
+                    st = state.replace(params=gparams)
 
-                losses, outs = jax.vmap(per_frame)(rows, off)
-                return jnp.mean(losses), outs
+                    def per_frame(row, off_b):
+                        return step_loss(
+                            st, umf_p, pmf_p, off_b,
+                            jax.tree.map(lambda x: x[None], row), 0, flag,
+                            patch_idx, lpips_params)
+
+                    losses, outs = jax.vmap(per_frame)(rows, off)
+                    return jnp.mean(losses), outs
 
             (loss, out), grads = jax.value_and_grad(
                 loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
@@ -263,13 +275,18 @@ def make_face_block(cfg: RasterizeConfig, opt_cfg, umf_net, pmf_net,
                                               pmf_params)
             new_pmf = jax.tree.map(lambda p, u: p + u, pmf_params, updp)
 
-            visible = out.radii > 0                      # [B, N]
-            # d(mean loss)/d(off_b) carries a 1/B factor; undo it so the
-            # accumulated per-frame grad norms equal B serial steps
-            new_state = G.add_densification_stats_batch(
-                new_state, g_off * dp, visible)
-            new_state = G.update_max_radii_batch(new_state, out.radii,
-                                                 visible)
+            visible = out.radii > 0                      # [B, N] ([N] serial)
+            if dp == 1:
+                new_state = G.add_densification_stats(new_state, g_off,
+                                                      visible)
+                new_state = G.update_max_radii(new_state, out.radii, visible)
+            else:
+                # d(mean loss)/d(off_b) carries a 1/B factor; undo it so the
+                # accumulated per-frame grad norms equal B serial steps
+                new_state = G.add_densification_stats_batch(
+                    new_state, g_off * dp, visible)
+                new_state = G.update_max_radii_batch(new_state, out.radii,
+                                                     visible)
 
             # padding steps (valid=0) discard the whole update so every
             # block runs at one static length (one executable)
@@ -397,7 +414,12 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     lpips_start = densify_until - 1500         # :42
 
     max_sh = model_cfg.sh_degree if long else 1  # :95-96
-    capacity = model_cfg.resolve_capacity()
+    cap_max = model_cfg.resolve_capacity()
+    adaptive = getattr(model_cfg, "adaptive_capacity", False)
+    # start at a pow2 that fits 2x the init cloud; grow toward cap_max as
+    # densification demands (G.adaptive_capacity_target)
+    capacity = (min(max(G._pow2ceil(2 * model_cfg.init_num), 4096), cap_max)
+                if adaptive else cap_max)
     xyz, colors = random_init_points(model_cfg.init_num, seed)
     state = G.create_from_points(jnp.asarray(xyz), jnp.asarray(colors),
                                  capacity, max_sh, extent)
@@ -480,6 +502,7 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     stack: list[int] = []
     hair_mask_interval = 7                      # :46
     losses: list[float] = []
+    dropped_seen = 0
     t0 = time.time()
 
     interval = opt_cfg.densification_interval
@@ -592,6 +615,17 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                   + (f"capacity_dropped={dropped} " if dropped else "")
                   + (f"tile_sat={sat*100:.1f}% " if sat > 0 else "")
                   + f"t={time.time()-t0:.0f}s", flush=True)
+            if adaptive:
+                new_cap = G.adaptive_capacity_target(
+                    int(n_alive), state.capacity, cap_max,
+                    allow_shrink=(end % 2000 < n))
+                if dropped > dropped_seen:  # saturated inside the window
+                    new_cap = max(new_cap, min(state.capacity * 2, cap_max))
+                    dropped_seen = dropped
+                if new_cap != state.capacity:
+                    print(f"[face] capacity {state.capacity} -> {new_cap} "
+                          f"(alive {int(n_alive)})", flush=True)
+                    state, gopt = G.pack_resize(state, gopt, new_cap)
         if eval_fn is not None and end % log_every < n:
             eval_fn(end, state, umf_params, pmf_params)
         if reporter is not None and (end % test_every < n or end == iterations):

@@ -175,6 +175,25 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     mouth_state: G.GaussianState = jax.tree.map(jnp.array, mouth_bundle["state"])
     face_gopt = G.adam_init(face_state.params)
     mouth_gopt = G.adam_init(mouth_state.params)
+    if getattr(model_cfg, "adaptive_capacity", False):
+        # fusion never densifies — one pack to a snug pow2 pays for the
+        # whole 2k-iteration stage (and for synthesis, which inherits
+        # these shapes)
+        fa, ma = jax.device_get((face_state.num_alive(),
+                                 mouth_state.num_alive()))
+        for nm, n_alive, st, go in (("face", int(fa), face_state, face_gopt),
+                                    ("mouth", int(ma), mouth_state,
+                                     mouth_gopt)):
+            new_cap = min(max(G._pow2ceil(2 * max(n_alive, 1)), 2048),
+                          st.capacity)
+            if new_cap != st.capacity:
+                print(f"[fuse] {nm} capacity {st.capacity} -> {new_cap} "
+                      f"(alive {n_alive})", flush=True)
+                st, go = G.pack_resize(st, go, new_cap)
+                if nm == "face":
+                    face_state, face_gopt = st, go
+                else:
+                    mouth_state, mouth_gopt = st, go
     cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
 
     # motion nets are frozen in fusion -> inference-mode (gather) lookups

@@ -209,7 +209,10 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     iterations = opt_cfg.iterations
     densify_until = iterations - 1000 if not long else opt_cfg.densify_until_iter
 
-    capacity = model_cfg.resolve_capacity()
+    cap_max = model_cfg.resolve_capacity()
+    adaptive = getattr(model_cfg, "adaptive_capacity", False)
+    capacity = (min(max(G._pow2ceil(2 * model_cfg.init_num), 4096), cap_max)
+                if adaptive else cap_max)  # see train/face.py
     xyz, colors = random_init_points(model_cfg.init_num, seed)
     xyz = xyz / 2.0
     xyz[:, 1] -= 0.05                       # squeeze toward mouth (:77-79)
@@ -262,6 +265,7 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     rng = np.random.default_rng(seed)
     stack: list[int] = []
     losses = []
+    dropped_seen = 0
     t0 = time.time()
 
     interval = opt_cfg.densification_interval
@@ -327,14 +331,25 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             state, gopt = G.reset_opacity(state, gopt)
 
         if end % log_every < n:
-            n_alive, *recent = jax.device_get(
-                (state.num_alive(),
+            dropped, n_alive, *recent = jax.device_get(
+                (state.dropped_children, state.num_alive(),
                  *losses[-max(1, log_every // interval):]))
             recent = np.concatenate([np.asarray(b) for b in recent])
             print(f"[mouth {end}/{iterations}] loss="
                   f"{recent[-log_every:].mean():.4f} "
                   f"pts={int(n_alive)} t={time.time()-t0:.0f}s",
                   flush=True)
+            if adaptive:
+                new_cap = G.adaptive_capacity_target(
+                    int(n_alive), state.capacity, cap_max,
+                    allow_shrink=(end % 2000 < n))
+                if int(dropped) > dropped_seen:
+                    new_cap = max(new_cap, min(state.capacity * 2, cap_max))
+                    dropped_seen = int(dropped)
+                if new_cap != state.capacity:
+                    print(f"[mouth] capacity {state.capacity} -> {new_cap} "
+                          f"(alive {int(n_alive)})", flush=True)
+                    state, gopt = G.pack_resize(state, gopt, new_cap)
 
     losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
         if losses else []

@@ -1,6 +1,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from instag_tpu.models.gaussians import (
     AdamState, GaussianParams, GaussianState, adam_init, adam_update,
@@ -226,3 +227,131 @@ def test_zero_quaternion_grads_finite():
 
     g = jax.jit(jax.grad(loss))(st.params)
     assert np.isfinite(np.asarray(g.rotation)).all()
+
+
+# ---------------------------------------------------------------------------
+# adaptive capacity (pack_resize + policy)
+# ---------------------------------------------------------------------------
+
+def _scattered_state(cap=256, n=60, seed=3):
+    import numpy as np
+    from instag_tpu.models import gaussians as G
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.normal(size=(n, 3)) * 0.2)
+    cols = jnp.asarray(rng.uniform(0.2, 1, (n, 3)))
+    st = G.create_from_points(pts, cols, cap, 1, 1.0)
+    opt = G.adam_init(st.params)
+    # scatter the alive slots around (not a prefix) and stamp per-slot
+    # moments so the test catches moments not traveling with their slot
+    perm = jnp.asarray(rng.permutation(cap))
+    st = jax.tree.map(lambda x: x[perm] if x.ndim and x.shape[0] == cap
+                      else x, st)
+    opt = jax.tree.map(lambda x: x[perm] if getattr(x, "ndim", 0)
+                       and x.shape[0] == cap else x, opt)
+    mu = jax.tree.map(lambda x: jnp.arange(x.shape[0], dtype=x.dtype
+                                           ).reshape((-1,) + (1,) * (x.ndim - 1))
+                      * jnp.ones_like(x), opt.mu)
+    opt = opt.replace(mu=mu)
+    return st, opt
+
+
+@pytest.mark.parametrize("new_cap", [128, 512])
+def test_pack_resize_render_identical(new_cap):
+    import numpy as np
+    from instag_tpu.models import gaussians as G
+    from instag_tpu.ops.rasterize import RasterizeConfig
+    from instag_tpu.render import Camera, render
+    from tests.test_rasterize import make_camera
+
+    st, opt = _scattered_state()
+    st2, opt2 = G.pack_resize(st, opt, new_cap)
+    assert st2.capacity == new_cap
+    assert int(st2.num_alive()) == int(st.num_alive())
+
+    cfg = RasterizeConfig(32, 32)
+    view, full, campos, tanfov = make_camera(32, 32)
+    cam = Camera(view, full, campos, jnp.float32(tanfov), jnp.float32(tanfov))
+    img1 = jax.jit(lambda s: render(cfg, cam, s, jnp.zeros(3)).image)(st)
+    img2 = jax.jit(lambda s: render(cfg, cam, s, jnp.zeros(3)).image)(st2)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img2),
+                               atol=1e-6)
+
+    # moments traveled with their slots: the alive slots' mu rows keep
+    # their original per-slot stamps under the same xyz ordering
+    import numpy as onp
+    a1 = onp.asarray(st.alive)
+    xyz1 = onp.asarray(st.params.xyz)[a1]
+    mu1 = onp.asarray(opt.mu.xyz)[a1]
+    a2 = onp.asarray(st2.alive)
+    xyz2 = onp.asarray(st2.params.xyz)[a2]
+    mu2 = onp.asarray(opt2.mu.xyz)[a2]
+    o1 = onp.lexsort(xyz1.T)
+    o2 = onp.lexsort(xyz2.T)
+    onp.testing.assert_allclose(mu1[o1], mu2[o2])
+
+
+def test_adaptive_capacity_policy():
+    from instag_tpu.models.gaussians import adaptive_capacity_target as tgt
+    # shrink with hysteresis
+    assert tgt(300, 32768, 32768) == 4096
+    assert tgt(3000, 32768, 32768) == 16384
+    # no thrash inside the band
+    assert tgt(1500, 8192, 32768) == 8192
+    # grow on occupancy
+    assert tgt(7000, 8192, 32768) == 32768
+    # clamps
+    assert tgt(300, 1024, 1024) == 1024          # min_cap above cap_max
+    assert tgt(40000, 32768, 32768) == 32768     # can't exceed ceiling
+    # shrink gating
+    assert tgt(300, 32768, 32768, allow_shrink=False) == 32768
+
+
+def test_training_continues_through_resize():
+    """Optimization across a pack_resize keeps improving (moments/state
+    consistent): fit, shrink mid-run, keep fitting."""
+    import numpy as np
+    from instag_tpu.models import gaussians as G
+    from instag_tpu.ops.rasterize import RasterizeConfig
+    from instag_tpu.render import Camera, render
+    from tests.test_rasterize import make_camera
+
+    rng = np.random.default_rng(0)
+    n, size = 100, 48
+    cfg = RasterizeConfig(size, size)
+    view, full, campos, tanfov = make_camera(size, size)
+    cam = Camera(view, full, campos, jnp.float32(tanfov),
+                 jnp.float32(tanfov))
+    bg = jnp.zeros(3)
+    target_st = G.create_from_points(
+        jnp.asarray(rng.normal(size=(n, 3)) * 0.2),
+        jnp.asarray(rng.uniform(0.2, 1, (n, 3))), n, 0, 1.0)
+    target = jax.jit(lambda s: render(cfg, cam, s, bg).image)(target_st)
+
+    st = G.create_from_points(
+        jnp.asarray(rng.normal(size=(n, 3)) * 0.2),
+        jnp.asarray(rng.uniform(0.2, 1, (n, 3))), 512, 0, 1.0)
+    opt = G.adam_init(st.params)
+    lrs = {k: 0.01 if k == "xyz" else 0.02
+           for k in st.params.__dataclass_fields__}
+
+    @jax.jit
+    def step(st, opt):
+        def loss(p):
+            return jnp.abs(render(cfg, cam, st.replace(params=p), bg).image
+                           - target).mean()
+        l, g = jax.value_and_grad(loss)(st.params)
+        p, opt = G.adam_update(st.params, g, opt, lrs, st.alive)
+        return st.replace(params=p), opt, l
+
+    def mse(s):
+        img = jax.jit(lambda s: render(cfg, cam, s, bg).image)(s)
+        return float(jnp.mean((img - target) ** 2))
+
+    for _ in range(60):
+        st, opt, l = step(st, opt)
+    mid = mse(st)
+    st, opt = G.pack_resize(st, opt, 128)
+    assert abs(mse(st) - mid) < 1e-8          # resize is a no-op visually
+    for _ in range(60):
+        st, opt, l = step(st, opt)
+    assert mse(st) < mid * 0.9                # still converging after
