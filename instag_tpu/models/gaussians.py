@@ -421,10 +421,8 @@ def adaptive_capacity_target(n_alive: int, capacity: int, cap_max: int,
     (trainers pass a sparse cadence: every shape is a new executable, so a
     gradually-decaying cloud must not shed one octave per check)."""
     want = min(max(_pow2ceil(headroom * max(n_alive, 1)), min_cap), cap_max)
-    if n_alive > 0.7 * capacity:
-        want = max(want, min(capacity * 2, cap_max))
-    if want > capacity:
-        return want
+    if n_alive > 0.7 * capacity:       # growth is occupancy-driven only
+        return min(max(capacity * 2, want), cap_max)
     if allow_shrink and want <= capacity // 2:
         return want
     return capacity
