@@ -633,7 +633,8 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             print(f"[face eval {end}] " + " ".join(
                 f"{k}={v:.3f}" for k, v in scores.items()), flush=True)
 
-    losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
+    # ONE device_get: per-block np.asarray would pay a tunnel RPC per block
+    losses = np.concatenate(jax.device_get(losses)).tolist() \
         if losses else []
     return dict(state=state, gopt=gopt, umf_params=umf_params,
                 umf_opt_state=umf_opt_state, pmf_params=pmf_params,

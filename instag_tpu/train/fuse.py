@@ -258,7 +258,8 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                   f"loss={recent[-log_every:].mean():.4f} "
                   f"t={time.time()-t0:.0f}s", flush=True)
 
-    losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
+    # ONE device_get: per-block np.asarray would pay a tunnel RPC per block
+    losses = np.concatenate(jax.device_get(losses)).tolist() \
         if losses else []
     return dict(face_state=face_state, mouth_state=mouth_state,
                 face_umf_params=face_bundle["umf_params"],

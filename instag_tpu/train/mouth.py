@@ -351,7 +351,8 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                           f"(alive {int(n_alive)})", flush=True)
                     state, gopt = G.pack_resize(state, gopt, new_cap)
 
-    losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
+    # ONE device_get: per-block np.asarray would pay a tunnel RPC per block
+    losses = np.concatenate(jax.device_get(losses)).tolist() \
         if losses else []
     return dict(state=state, gopt=gopt, umf_params=umf_params,
                 umf_opt_state=umf_opt_state, pmf_params=pmf_params,

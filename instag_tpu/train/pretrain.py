@@ -587,7 +587,8 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                   f"pts={[int(p) for p in pts]} "
                   f"t={time.time()-t0:.0f}s", flush=True)
 
-    losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
+    # ONE device_get (see train/face.py)
+    losses = np.concatenate(jax.device_get(losses)).tolist() \
         if losses else []
 
     if share_audio_net:
@@ -1066,7 +1067,8 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                   f"loss={recent[-log_every:].mean():.4f} "
                   f"t={time.time()-t0:.0f}s", flush=True)
 
-    losses = np.concatenate([np.asarray(b) for b in losses]).tolist() \
+    # ONE device_get (see train/face.py)
+    losses = np.concatenate(jax.device_get(losses)).tolist() \
         if losses else []
     return dict(umf_params=umf_params, ema_params=ema_params,
                 umf_opt_state=umf_opt_state, pmf_stack=pmf_stack,
