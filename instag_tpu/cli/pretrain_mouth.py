@@ -7,7 +7,8 @@ from __future__ import annotations
 import os
 
 from ..config import make_parser, parse_all
-from ..io.checkpoints import load_bundle, save_bundle, state_from_dict
+from ..io.checkpoints import (bundle_list, load_bundle, save_bundle,
+                              state_from_dict)
 from ..train.pretrain import pretrain_mouth
 
 
@@ -22,7 +23,7 @@ def main(argv=None):
     face_ema = load_bundle(os.path.join(mc.model_path,
                                         "chkpnt_ema_face_latest.pkl"))
     data_list = (args.data_list.split(",") if args.data_list
-                 else face_ema["data_list"])
+                 else bundle_list(face_ema["data_list"]))
     face_states = []
     for name in data_list:
         b = load_bundle(os.path.join(mc.model_path, f"{name}_face_latest.pkl"))

@@ -170,6 +170,15 @@ def load_bundle(path: str) -> dict:
         raise
 
 
+def bundle_list(x) -> list:
+    """Normalize a list stored in a bundle: flax's to_state_dict turns
+    Python lists into ``{'0': ..., '1': ...}`` dicts, which iterate over
+    their string keys — every bundle consumer must decode through this."""
+    if isinstance(x, dict):
+        return [x[k] for k in sorted(x, key=int)]
+    return list(x)
+
+
 def restore_like(target, state_dict):
     """Rebuild a typed pytree (optax state, AdamState, ...) from a loaded
     bundle entry, using a freshly-initialized ``target`` for structure."""

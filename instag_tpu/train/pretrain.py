@@ -407,6 +407,27 @@ def _load_identity(model_cfg: ModelConfig, name: str, capacity: int,
     return records, batch, state, meta
 
 
+def _adaptive_resize(states, gopts, pts, dropped, dropped_seen, cap_max,
+                     allow_shrink, tag):
+    """Per-identity adaptive cloud capacity at log points (see train/face.py:
+    padded ops cost by capacity, not live splats — pretrain starts small and
+    grows with densification instead of paying resolve_capacity() from step
+    one). ``dropped_seen`` is mutated in place (cumulative capacity-dropped
+    children counters per identity)."""
+    for k in range(len(states)):
+        new_cap = G.adaptive_capacity_target(
+            int(pts[k]), states[k].capacity, cap_max,
+            allow_shrink=allow_shrink)
+        if int(dropped[k]) > dropped_seen[k]:  # saturated inside the window
+            new_cap = max(new_cap, min(states[k].capacity * 2, cap_max))
+            dropped_seen[k] = int(dropped[k])
+        if new_cap != states[k].capacity:
+            print(f"[{tag}] id{k} capacity {states[k].capacity} -> "
+                  f"{new_cap} (alive {int(pts[k])})", flush=True)
+            states[k], gopts[k] = G.pack_resize(states[k], gopts[k], new_cap)
+    return states, gopts
+
+
 def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                   data_list: list[str], log_every: int = 500, seed: int = 0,
                   warm_per_id: int = 1000, identity_block: int = 25,
@@ -440,7 +461,13 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     select_iter = max((opt_cfg.iterations - 10000) * n, 1)
     select_interval = 15
 
-    capacity = model_cfg.resolve_capacity()
+    cap_max = model_cfg.resolve_capacity()
+    adaptive = getattr(model_cfg, "adaptive_capacity", False) \
+        and not identity_parallel
+    # padded ops cost by capacity, not live splats: start at a pow2 that
+    # fits 2x the init cloud and grow with densification (train/face.py)
+    capacity = (min(max(G._pow2ceil(2 * model_cfg.init_num), 4096), cap_max)
+                if adaptive else cap_max)
     if stream is None:
         import glob as _glob
         stream = any(
@@ -513,6 +540,7 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     rng = np.random.default_rng(seed)
     stacks = [[] for _ in range(n)]
+    dropped_seen = [0] * n
     key = keys[-1]
     losses = []
     t0 = time.time()
@@ -578,14 +606,19 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         states[sid], gopts[sid] = state, gopt
 
         if end % log_every < nsteps:
-            pts, *recent = jax.device_get(
+            pts, dropped, *recent = jax.device_get(
                 (tuple(s_.num_alive() for s_ in states),
+                 tuple(s_.dropped_children for s_ in states),
                  *losses[-max(1, log_every // nsteps):]))
             recent = np.concatenate([np.asarray(b) for b in recent])
             print(f"[pretrain_face {end}/{iterations}] "
                   f"loss={recent.mean():.4f} "
                   f"pts={[int(p) for p in pts]} "
                   f"t={time.time()-t0:.0f}s", flush=True)
+            if adaptive:
+                states, gopts = _adaptive_resize(
+                    states, gopts, pts, dropped, dropped_seen, cap_max,
+                    allow_shrink=(end % 2000 < nsteps), tag="pretrain_face")
 
     # ONE device_get (see train/face.py)
     losses = np.concatenate(jax.device_get(losses)).tolist() \
@@ -915,7 +948,11 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     select_iter = max((opt_cfg.iterations - 10000) * n, 1)
     select_interval = 7
 
-    capacity = model_cfg.resolve_capacity()
+    cap_max = model_cfg.resolve_capacity()
+    adaptive = getattr(model_cfg, "adaptive_capacity", False) \
+        and not identity_parallel
+    capacity = (min(max(G._pow2ceil(2 * model_cfg.init_num), 4096), cap_max)
+                if adaptive else cap_max)  # see _adaptive_resize
     if stream is None:
         import glob as _glob
         stream = any(
@@ -994,6 +1031,7 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     from .mouth import sample_mouth_curriculum, _soften_green
     rng = np.random.default_rng(seed)
     stacks = [[] for _ in range(n)]
+    dropped_seen = [0] * n
     key = keys[-1]
     losses = []
     t0 = time.time()
@@ -1061,11 +1099,20 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         states[sid], gopts[sid] = state, gopt
 
         if end % log_every < nsteps:
-            recent = np.concatenate(
-                [np.asarray(b) for b in losses[-max(1, log_every // nsteps):]])
+            pts, dropped, *recent = jax.device_get(
+                (tuple(s_.num_alive() for s_ in states),
+                 tuple(s_.dropped_children for s_ in states),
+                 *losses[-max(1, log_every // nsteps):]))
+            recent = np.concatenate([np.asarray(b) for b in recent])
             print(f"[pretrain_mouth {end}/{iterations}] "
                   f"loss={recent[-log_every:].mean():.4f} "
+                  f"pts={[int(p) for p in pts]} "
                   f"t={time.time()-t0:.0f}s", flush=True)
+            if adaptive:
+                states, gopts = _adaptive_resize(
+                    states, gopts, pts, dropped, dropped_seen, cap_max,
+                    allow_shrink=(end % 2000 < nsteps),
+                    tag="pretrain_mouth")
 
     # ONE device_get (see train/face.py)
     losses = np.concatenate(jax.device_get(losses)).tolist() \

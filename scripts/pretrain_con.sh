@@ -15,12 +15,12 @@ if [ "$EXTRACTOR" = "esperanto" ] || [ "$EXTRACTOR" = "hubert" ]; then
     SHARE="--share_audio_net"
 fi
 
-python -m instag_tpu.cli.pretrain_face \
+# Single-process chain: one JAX backend init, dataset/device-batch caches
+# shared across stages, face result passed in memory (cli/pretrain docstring).
+# The per-stage CLIs (cli.pretrain_face / cli.pretrain_mouth) remain available
+# and save identical artifacts.
+python -m instag_tpu.cli.pretrain \
     --source_path "$DATA" --model_path "$OUT" \
-    --audio_extractor "$EXTRACTOR" --type face \
-    --init_num 2000 --iterations 30000 --densify_grad_threshold 5e-4 $SHARE
-
-python -m instag_tpu.cli.pretrain_mouth \
-    --source_path "$DATA" --model_path "$OUT" \
-    --audio_extractor "$EXTRACTOR" --type mouth \
-    --init_num 5000 --iterations 30000
+    --audio_extractor "$EXTRACTOR" \
+    --init_num 2000 --mouth_init_num 5000 \
+    --iterations 30000 --densify_grad_threshold 5e-4 $SHARE

@@ -187,3 +187,74 @@ def test_pretrain_mouth_streaming_matches_preloaded(pretrain_root,
     np.testing.assert_allclose(np.asarray(res_str["losses"]),
                                np.asarray(res_pre["losses"]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_adaptive_resize_wiring():
+    """Pretrain's per-identity adaptive capacity (_adaptive_resize): grow on
+    occupancy, grow on capacity-dropped children, shrink on the sparse
+    cadence — mirroring train/face.py's measured policy."""
+    import jax.numpy as jnp
+    from instag_tpu.models import gaussians as G
+    from instag_tpu.train.pretrain import _adaptive_resize
+
+    def mk(cap):
+        xyz = np.random.default_rng(0).normal(size=(150, 3)) * 0.05
+        st = G.create_from_points(jnp.asarray(xyz, jnp.float32),
+                                  jnp.full((150, 3), 0.5, jnp.float32),
+                                  cap, 2, 1.0)
+        return st, G.adam_init(st.params)
+
+    st, opt = mk(8192)
+    states, gopts, seen = [st], [opt], [0]
+
+    # occupancy-driven growth (fabricated alive count past 70%)
+    states, gopts = _adaptive_resize(states, gopts, [7000], [0], seen,
+                                     cap_max=16384, allow_shrink=False,
+                                     tag="t")
+    assert states[0].capacity == 16384
+
+    # shrink back on the sparse cadence (alive 100 -> pow2(4*100) -> 4096)
+    states, gopts = _adaptive_resize(states, gopts, [100], [0], seen,
+                                     cap_max=16384, allow_shrink=True,
+                                     tag="t")
+    assert states[0].capacity == 4096
+
+    # capacity-dropped children force a grow even at low occupancy,
+    # and the cumulative counter only fires once per increase
+    states, gopts = _adaptive_resize(states, gopts, [100], [3], seen,
+                                     cap_max=16384, allow_shrink=False,
+                                     tag="t")
+    assert states[0].capacity == 8192 and seen[0] == 3
+    states, gopts = _adaptive_resize(states, gopts, [100], [3], seen,
+                                     cap_max=16384, allow_shrink=False,
+                                     tag="t")
+    assert states[0].capacity == 8192  # same counter: no second grow
+
+    # the 150 real splats survived every resize
+    assert int(states[0].num_alive()) == 150
+
+
+def test_cli_pretrain_chain(pretrain_root, tmp_path):
+    """Single-process pre-training chain CLI (cli/pretrain): face -> mouth
+    in one process, saving the same artifacts as the per-stage CLIs."""
+    from instag_tpu.cli.pretrain import main as pretrain_main
+    from instag_tpu.io.checkpoints import bundle_list, load_bundle
+
+    out = str(tmp_path / "pre_out")
+    pretrain_main(["--source_path", pretrain_root, "--model_path", out,
+                   "--init_num", "120", "--mouth_init_num", "120",
+                   "--capacity", "512", "--max_per_tile", "48",
+                   "--iterations", "10", "--densify_from_iter", "4",
+                   "--densification_interval", "6",
+                   "--opacity_reset_interval", "100000",
+                   "--position_lr_max_steps", "20"])
+
+    for fname in ["chkpnt_face_latest.pkl", "chkpnt_ema_face_latest.pkl",
+                  "chkpnt_mouth_latest.pkl", "chkpnt_ema_mouth_latest.pkl",
+                  "id_a_face_latest.pkl", "id_b_face_latest.pkl"]:
+        assert os.path.exists(os.path.join(out, fname)), fname
+    face = load_bundle(os.path.join(out, "chkpnt_face_latest.pkl"))
+    # flax msgpack round-trips lists as {'0':...} dicts — bundle_list decodes
+    assert bundle_list(face["data_list"]) == ["id_a", "id_b"]
+    mouth = load_bundle(os.path.join(out, "chkpnt_ema_mouth_latest.pkl"))
+    assert "ema_params" in mouth
