@@ -36,6 +36,11 @@ class ModelConfig:
     # pack/resize the padded cloud to occupancy at log points (adaptation
     # trainers); resolve_capacity() stays the hard ceiling
     adaptive_capacity: bool = True
+    # A/B-reproducibility mode: resizes keep every slot in place (grow
+    # pads, never shrinks, no packing) so densification's per-slot
+    # sampling draws replay a fixed-capacity run bit-for-bit
+    # (models/gaussians.py pack_resize keep_slots)
+    deterministic_slots: bool = False
 
     def resolve_capacity(self) -> int:
         if self.capacity > 0:

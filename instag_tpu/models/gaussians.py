@@ -410,6 +410,15 @@ def _pow2ceil(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+def adaptive_start_capacity(init_num: int, cap_max: int,
+                            min_cap: int = 4096) -> int:
+    """Starting capacity for an adaptive-capacity cloud: a pow2 that fits
+    2x the init cloud, clamped to [min_cap, cap_max]. Shared by all
+    trainers (train/face.py, train/pretrain.py x2) so the growth policy
+    has one definition."""
+    return min(max(_pow2ceil(2 * init_num), min_cap), cap_max)
+
+
 def adaptive_capacity_target(n_alive: int, capacity: int, cap_max: int,
                              min_cap: int = 4096, headroom: int = 4,
                              allow_shrink: bool = True) -> int:
@@ -428,23 +437,46 @@ def adaptive_capacity_target(n_alive: int, capacity: int, cap_max: int,
     return capacity
 
 
-@partial(jax.jit, static_argnums=(2,))
-def pack_resize(state: GaussianState, opt: AdamState, new_capacity: int
-                ) -> tuple[GaussianState, AdamState]:
-    """Pack alive slots to the front and resize every [C, ...] buffer to
-    ``new_capacity`` (exact: a permutation of slots plus dead-slot
-    truncation/padding; Adam moments travel with their slots). Caller must
-    ensure ``n_alive <= new_capacity`` — the policy's headroom does."""
+def _resize_take(state: GaussianState, new_capacity: int, keep_slots: bool):
+    """Slot-relocation function for a capacity resize.
+
+    ``keep_slots=False`` (default): stable-pack alive slots to the front —
+    maximal shrink headroom, but alive slots change absolute index, which
+    perturbs densification's per-slot sampling draws (the split-child
+    normal draw at slot i depends on i).
+    ``keep_slots=True`` (deterministic-slot mode): no permutation — grow
+    pads dead slots at the tail, shrink truncates the tail. Because jax's
+    threefry bits are a pure function of (key, flat element index),
+    ``jax.random.normal(key, [C, 3])`` rows are prefix-stable in C, so an
+    in-place grow leaves every existing slot's future densify draws
+    bit-identical to a run that started at the larger capacity
+    (tested: test_gaussians.py::test_keep_slots_resize_preserves_draws).
+    """
     cap = state.capacity
-    order = jnp.argsort(~state.alive, stable=True)
+    order = None if keep_slots else jnp.argsort(~state.alive, stable=True)
 
     def take(x):
-        y = x[order]
+        y = x if order is None else x[order]
         if new_capacity <= cap:
             return y[:new_capacity]
         widths = [(0, new_capacity - cap)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(y, widths)
 
+    return take
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def pack_resize(state: GaussianState, opt: AdamState, new_capacity: int,
+                keep_slots: bool = False) -> tuple[GaussianState, AdamState]:
+    """Pack alive slots to the front and resize every [C, ...] buffer to
+    ``new_capacity`` (exact: a permutation of slots plus dead-slot
+    truncation/padding; Adam moments travel with their slots). Caller must
+    ensure ``n_alive <= new_capacity`` — the policy's headroom does.
+    ``keep_slots=True`` keeps every slot in place (see :func:`_resize_take`)
+    so adaptive-capacity runs replay fixed-capacity densify draws exactly;
+    the caller must then ensure all alive slots sit below ``new_capacity``
+    when shrinking (trainers simply don't shrink in that mode)."""
+    take = _resize_take(state, new_capacity, keep_slots)
     new_state = state.replace(
         params=jax.tree.map(take, state.params),
         alive=take(state.alive),
@@ -454,3 +486,19 @@ def pack_resize(state: GaussianState, opt: AdamState, new_capacity: int
     new_opt = AdamState(mu=jax.tree.map(take, opt.mu),
                         nu=jax.tree.map(take, opt.nu), step=opt.step)
     return new_state, new_opt
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def pack_resize_state(state: GaussianState, new_capacity: int,
+                      keep_slots: bool = False) -> GaussianState:
+    """:func:`pack_resize` for a frozen cloud with no optimizer (e.g. the
+    per-identity face clouds pretrain_mouth stacks for identity-parallel
+    training — heterogeneous capacities from an adaptive serial face run
+    must pad to a common capacity before ``jnp.stack``)."""
+    take = _resize_take(state, new_capacity, keep_slots)
+    return state.replace(
+        params=jax.tree.map(take, state.params),
+        alive=take(state.alive),
+        max_radii2d=take(state.max_radii2d),
+        xyz_grad_accum=take(state.xyz_grad_accum),
+        denom=take(state.denom))

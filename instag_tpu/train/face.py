@@ -416,9 +416,10 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     max_sh = model_cfg.sh_degree if long else 1  # :95-96
     cap_max = model_cfg.resolve_capacity()
     adaptive = getattr(model_cfg, "adaptive_capacity", False)
+    det_slots = getattr(model_cfg, "deterministic_slots", False)
     # start at a pow2 that fits 2x the init cloud; grow toward cap_max as
     # densification demands (G.adaptive_capacity_target)
-    capacity = (min(max(G._pow2ceil(2 * model_cfg.init_num), 4096), cap_max)
+    capacity = (G.adaptive_start_capacity(model_cfg.init_num, cap_max)
                 if adaptive else cap_max)
     xyz, colors = random_init_points(model_cfg.init_num, seed)
     state = G.create_from_points(jnp.asarray(xyz), jnp.asarray(colors),
@@ -618,14 +619,15 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             if adaptive:
                 new_cap = G.adaptive_capacity_target(
                     int(n_alive), state.capacity, cap_max,
-                    allow_shrink=(end % 2000 < n))
+                    allow_shrink=(end % 2000 < n) and not det_slots)
                 if dropped > dropped_seen:  # saturated inside the window
                     new_cap = max(new_cap, min(state.capacity * 2, cap_max))
                     dropped_seen = dropped
                 if new_cap != state.capacity:
                     print(f"[face] capacity {state.capacity} -> {new_cap} "
                           f"(alive {int(n_alive)})", flush=True)
-                    state, gopt = G.pack_resize(state, gopt, new_cap)
+                    state, gopt = G.pack_resize(state, gopt, new_cap,
+                                                keep_slots=det_slots)
         if eval_fn is not None and end % log_every < n:
             eval_fn(end, state, umf_params, pmf_params)
         if reporter is not None and (end % test_every < n or end == iterations):

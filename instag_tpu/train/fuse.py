@@ -175,7 +175,8 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     mouth_state: G.GaussianState = jax.tree.map(jnp.array, mouth_bundle["state"])
     face_gopt = G.adam_init(face_state.params)
     mouth_gopt = G.adam_init(mouth_state.params)
-    if getattr(model_cfg, "adaptive_capacity", False):
+    if getattr(model_cfg, "adaptive_capacity", False) \
+            and not getattr(model_cfg, "deterministic_slots", False):
         # fusion never densifies — one pack to a snug pow2 pays for the
         # whole 2k-iteration stage (and for synthesis, which inherits
         # these shapes)

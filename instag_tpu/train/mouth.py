@@ -211,7 +211,8 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     cap_max = model_cfg.resolve_capacity()
     adaptive = getattr(model_cfg, "adaptive_capacity", False)
-    capacity = (min(max(G._pow2ceil(2 * model_cfg.init_num), 4096), cap_max)
+    det_slots = getattr(model_cfg, "deterministic_slots", False)
+    capacity = (G.adaptive_start_capacity(model_cfg.init_num, cap_max)
                 if adaptive else cap_max)  # see train/face.py
     xyz, colors = random_init_points(model_cfg.init_num, seed)
     xyz = xyz / 2.0
@@ -342,14 +343,15 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             if adaptive:
                 new_cap = G.adaptive_capacity_target(
                     int(n_alive), state.capacity, cap_max,
-                    allow_shrink=(end % 2000 < n))
+                    allow_shrink=(end % 2000 < n) and not det_slots)
                 if int(dropped) > dropped_seen:
                     new_cap = max(new_cap, min(state.capacity * 2, cap_max))
                     dropped_seen = int(dropped)
                 if new_cap != state.capacity:
                     print(f"[mouth] capacity {state.capacity} -> {new_cap} "
                           f"(alive {int(n_alive)})", flush=True)
-                    state, gopt = G.pack_resize(state, gopt, new_cap)
+                    state, gopt = G.pack_resize(state, gopt, new_cap,
+                                                keep_slots=det_slots)
 
     # ONE device_get: per-block np.asarray would pay a tunnel RPC per block
     losses = np.concatenate(jax.device_get(losses)).tolist() \

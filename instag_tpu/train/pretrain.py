@@ -408,7 +408,7 @@ def _load_identity(model_cfg: ModelConfig, name: str, capacity: int,
 
 
 def _adaptive_resize(states, gopts, pts, dropped, dropped_seen, cap_max,
-                     allow_shrink, tag):
+                     allow_shrink, tag, keep_slots=False):
     """Per-identity adaptive cloud capacity at log points (see train/face.py:
     padded ops cost by capacity, not live splats — pretrain starts small and
     grows with densification instead of paying resolve_capacity() from step
@@ -417,14 +417,15 @@ def _adaptive_resize(states, gopts, pts, dropped, dropped_seen, cap_max,
     for k in range(len(states)):
         new_cap = G.adaptive_capacity_target(
             int(pts[k]), states[k].capacity, cap_max,
-            allow_shrink=allow_shrink)
+            allow_shrink=allow_shrink and not keep_slots)
         if int(dropped[k]) > dropped_seen[k]:  # saturated inside the window
             new_cap = max(new_cap, min(states[k].capacity * 2, cap_max))
             dropped_seen[k] = int(dropped[k])
         if new_cap != states[k].capacity:
             print(f"[{tag}] id{k} capacity {states[k].capacity} -> "
                   f"{new_cap} (alive {int(pts[k])})", flush=True)
-            states[k], gopts[k] = G.pack_resize(states[k], gopts[k], new_cap)
+            states[k], gopts[k] = G.pack_resize(states[k], gopts[k], new_cap,
+                                                keep_slots=keep_slots)
     return states, gopts
 
 
@@ -464,9 +465,10 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     cap_max = model_cfg.resolve_capacity()
     adaptive = getattr(model_cfg, "adaptive_capacity", False) \
         and not identity_parallel
+    det_slots = getattr(model_cfg, "deterministic_slots", False)
     # padded ops cost by capacity, not live splats: start at a pow2 that
     # fits 2x the init cloud and grow with densification (train/face.py)
-    capacity = (min(max(G._pow2ceil(2 * model_cfg.init_num), 4096), cap_max)
+    capacity = (G.adaptive_start_capacity(model_cfg.init_num, cap_max)
                 if adaptive else cap_max)
     if stream is None:
         import glob as _glob
@@ -618,7 +620,8 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             if adaptive:
                 states, gopts = _adaptive_resize(
                     states, gopts, pts, dropped, dropped_seen, cap_max,
-                    allow_shrink=(end % 2000 < nsteps), tag="pretrain_face")
+                    allow_shrink=(end % 2000 < nsteps), tag="pretrain_face",
+                    keep_slots=det_slots)
 
     # ONE device_get (see train/face.py)
     losses = np.concatenate(jax.device_get(losses)).tolist() \
@@ -951,7 +954,8 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     cap_max = model_cfg.resolve_capacity()
     adaptive = getattr(model_cfg, "adaptive_capacity", False) \
         and not identity_parallel
-    capacity = (min(max(G._pow2ceil(2 * model_cfg.init_num), 4096), cap_max)
+    det_slots = getattr(model_cfg, "deterministic_slots", False)
+    capacity = (G.adaptive_start_capacity(model_cfg.init_num, cap_max)
                 if adaptive else cap_max)  # see _adaptive_resize
     if stream is None:
         import glob as _glob
@@ -1017,6 +1021,17 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
 
     if identity_parallel:
         assert not stream, "identity_parallel is exclusive with streaming"
+        # A serial pretrain_face run with adaptive capacity (the default)
+        # leaves per-identity face clouds at different capacities;
+        # stack_identities needs homogeneous shapes — pad every cloud to
+        # the max capacity (exact: dead-slot padding only).
+        caps = sorted({s.capacity for s in face_states})
+        if len(caps) > 1:
+            print(f"[pretrain_mouth] padding face clouds {caps} -> "
+                  f"{caps[-1]} for identity stacking", flush=True)
+            face_states = [G.pack_resize_state(s, caps[-1])
+                           for s in face_states]
+        assert len({s.capacity for s in states}) == 1
         return _pretrain_mouth_idp(
             cfg, opt_cfg, umf_net, pmf_net, face_net, umf_tx, pmf_tx,
             umf_opt_state, umf_params, ema_params, pmf_stack, pmf_opt_stack,
@@ -1112,7 +1127,7 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 states, gopts = _adaptive_resize(
                     states, gopts, pts, dropped, dropped_seen, cap_max,
                     allow_shrink=(end % 2000 < nsteps),
-                    tag="pretrain_mouth")
+                    tag="pretrain_mouth", keep_slots=det_slots)
 
     # ONE device_get (see train/face.py)
     losses = np.concatenate(jax.device_get(losses)).tolist() \

@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import shutil
@@ -77,8 +78,14 @@ def main():
     if args.mouth:
         mcm = ModelConfig(source_path=args.scene, init_num=5000,
                           type="mouth", adaptive_capacity=adaptive)
+        # the mouth stage runs at the DEFAULT densify threshold (2e-4):
+        # pretrain_con.sh passes 5e-4 to pretrain_face only, and
+        # cli/pretrain resets the mouth OptimizationConfig the same way
+        ocm = dataclasses.replace(
+            oc, densify_grad_threshold=OptimizationConfig()
+            .densify_grad_threshold)
         t0 = time.time()
-        pretrain_mouth(mcm, oc, names, face,
+        pretrain_mouth(mcm, ocm, names, face,
                        warm_per_id=min(3 * args.warm_per_id,
                                        args.iterations // 2))
         mouth_wall = time.time() - t0

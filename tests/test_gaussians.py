@@ -355,3 +355,75 @@ def test_training_continues_through_resize():
     for _ in range(60):
         st, opt, l = step(st, opt)
     assert mse(st) < mid * 0.9                # still converging after
+
+
+def test_adaptive_start_capacity():
+    from instag_tpu.models.gaussians import adaptive_start_capacity as sc
+    assert sc(2000, 32768) == 4096      # pow2ceil(4000) = 4096
+    assert sc(5000, 32768) == 16384     # pow2ceil(10000) = 16384
+    assert sc(100, 32768) == 4096       # min_cap floor
+    assert sc(30000, 8192) == 8192      # cap_max ceiling
+
+
+def test_keep_slots_resize_preserves_draws():
+    """Deterministic-slot mode (VERDICT r3 item 9): growing capacity with
+    keep_slots=True leaves every existing slot in place, and because jax's
+    threefry bits are a pure function of (key, flat element index), the
+    split-child normal draw rows are prefix-stable in capacity — densify
+    after the grow is bit-identical to densify at the old capacity."""
+    from instag_tpu.models import gaussians as G
+
+    state = make_state(n=16, cap=64, seed=5)
+    opt = adam_init(state.params)
+    # slots 0,1 are split candidates (large scale + high grad)
+    accum = jnp.zeros(64).at[:2].set(10.0)
+    state = state.replace(xyz_grad_accum=accum,
+                          denom=jnp.zeros(64).at[:16].set(1.0))
+    big = softplus_inverse(jnp.full((64, 3), 0.5))
+    state = state.replace(params=state.params.replace(scaling=big))
+
+    grown, gopt = G.pack_resize(state, opt, 128, keep_slots=True)
+    assert grown.capacity == 128
+    # keep_slots: no permutation — every slot stays where it was
+    np.testing.assert_array_equal(np.asarray(grown.alive[:64]),
+                                  np.asarray(state.alive))
+    np.testing.assert_array_equal(np.asarray(grown.params.xyz[:64]),
+                                  np.asarray(state.params.xyz))
+    assert not np.asarray(grown.alive[64:]).any()
+
+    key = jax.random.key(7)
+    kw = dict(max_grad=1.0, min_opacity=0.005, extent=1.0,
+              max_screen_size=None, percent_dense=0.01)
+    a, _ = densify_and_prune(state, opt, key, **kw)
+    b, _ = densify_and_prune(grown, gopt, key, **kw)
+    # identical allocation AND identical in-Gaussian sampling draws
+    np.testing.assert_array_equal(np.asarray(b.alive[:64]),
+                                  np.asarray(a.alive))
+    assert not np.asarray(b.alive[64:]).any()
+    np.testing.assert_array_equal(
+        np.asarray(a.params.xyz)[np.asarray(a.alive)],
+        np.asarray(b.params.xyz[:64])[np.asarray(b.alive[:64])])
+    np.testing.assert_array_equal(
+        np.asarray(a.params.scaling)[np.asarray(a.alive)],
+        np.asarray(b.params.scaling[:64])[np.asarray(b.alive[:64])])
+
+
+def test_pack_resize_state_enables_heterogeneous_stacking():
+    """ADVICE r3 (medium): adaptive serial pretrain_face leaves per-identity
+    clouds at different capacities; pretrain_mouth --identity_parallel pads
+    them to a common capacity via pack_resize_state before stacking."""
+    from instag_tpu.models import gaussians as G
+    from instag_tpu.parallel.identity_parallel import stack_identities
+
+    s1 = make_state(n=16, cap=64, seed=0)
+    s2 = make_state(n=30, cap=128, seed=1)
+    with pytest.raises(Exception):
+        stack_identities([s1, s2])  # heterogeneous shapes cannot stack
+    common = max(s1.capacity, s2.capacity)
+    padded = [G.pack_resize_state(s, common) for s in (s1, s2)]
+    stack = stack_identities(padded)
+    assert stack.params.xyz.shape == (2, 128, 3)
+    np.testing.assert_array_equal(np.asarray(stack.alive.sum(1)), [16, 30])
+    # padding is exact: the original alive rows survive verbatim
+    np.testing.assert_array_equal(np.asarray(stack.params.xyz[0, :16]),
+                                  np.asarray(s1.params.xyz[:16]))
