@@ -307,10 +307,22 @@ def main(argv=None):
             import json
             import numpy as np
             from ..data.dataset import load_frames
-            from ..metrics import evaluate_frames
-            gt = np.stack([r.image for r in load_frames(
-                mc.source_path, "val", mc.audio_extractor, -1)])
+            from ..metrics import (evaluate_frames, lmd_from_landmarks,
+                                   load_gt_landmarks, track_video_landmarks)
+            val_records = load_frames(mc.source_path, "val",
+                                      mc.audio_extractor, -1)
+            gt = np.stack([r.image for r in val_records])
             scores = evaluate_frames(video, gt.astype(np.uint8))
+            # LMD: dataset .lms for GT + FAN tracking on rendered frames
+            # (reference metrics.py:189-217; FAN weights egress-gated —
+            # track_video_landmarks loud-skips without them)
+            t_lmd = min(len(video), len(val_records))
+            gt_lms = load_gt_landmarks(
+                mc.source_path, [r.img_id for r in val_records[:t_lmd]])
+            if gt_lms is not None:
+                pred_lms = track_video_landmarks(video[:t_lmd])
+                if pred_lms is not None:
+                    scores["lmd"] = lmd_from_landmarks(pred_lms, gt_lms)
             mpath = os.path.join(mc.model_path, "metrics.json")
             with open(mpath, "w") as f:
                 json.dump(scores, f, indent=1)

@@ -44,14 +44,21 @@ def main(argv=None):
     parser.add_argument("--gt", required=True)
     parser.add_argument("--lms_pred", default="")
     parser.add_argument("--lms_gt", default="")
+    parser.add_argument("--track", action="store_true",
+                        help="run the in-repo FAN tracker on BOTH videos "
+                             "for LMD (the reference metrics.py protocol, "
+                             ":189-217; loud skip without FAN weights)")
     args = parser.parse_args(argv)
 
-    from ..metrics import evaluate_frames
+    from ..metrics import evaluate_frames, track_video_landmarks
     pred = _load_video(args.pred)
     gt = _load_video(args.gt)
     t = min(len(pred), len(gt))
     lp = _load_lms_dir(args.lms_pred) if args.lms_pred else None
     lg = _load_lms_dir(args.lms_gt) if args.lms_gt else None
+    if args.track and lp is None:
+        lp = track_video_landmarks(pred[:t])
+        lg = track_video_landmarks(gt[:t]) if lp is not None else None
     if lp is not None and lg is not None:
         tl = min(len(lp), len(lg))
         lp, lg = lp[:tl], lg[:tl]

@@ -20,6 +20,12 @@ def main(argv=None):
     parser.add_argument("--dilate", action="store_true")
     parser.add_argument("--personalized", action="store_true")
     parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--mux_audio", action="store_true",
+                        help="attach the tail-aligned dataset aud.wav to "
+                             "the output (reference "
+                             "sync_tail_audio_to_video.ipynb); ffmpeg "
+                             "remux when available, else a pure-Python "
+                             "MJPEG+PCM AVI next to out.mp4")
     mc, _, _, args = parse_all(parser, argv)
     # merge persisted train-time config (reference get_combined_args)
     if os.path.exists(os.path.join(mc.model_path, "cfg_args.json")):
@@ -45,6 +51,13 @@ def main(argv=None):
                                                  "deformed_ply"),
                             fast=args.fast)
     print(f"wrote {out}: {video.shape[0]} frames @ {fps:.1f} FPS synthesis")
+
+    if args.mux_audio:
+        from ..io.avmux import mux_audio
+        dst = mux_audio(out, video, 25.0,
+                        os.path.join(mc.source_path, "aud.wav"))
+        if dst:
+            print(f"wrote {dst} (with audio)")
 
 
 if __name__ == "__main__":

@@ -17,7 +17,15 @@ import numpy as np
 
 def generate_scene(path: str, n_frames: int = 20, size: int = 128,
                    audio_extractor: str = "deepspeech", seed: int = 0,
-                   n_val: int = 4) -> None:
+                   n_val: int = 4, variation: float = 0.0,
+                   focal_mult: float = 2.0) -> None:
+    """``variation`` > 0 makes identities genuinely different (appearance,
+    geometry, talking cadence) while the audio features stay causally tied
+    to the mouth motion — required for an honest Universal-Motion-Field
+    transfer experiment (scripts/exp_umf_transfer.py): a pretrained UMF
+    must generalize across head shape/color AND across each identity's
+    random audio-feature projection, not just memorize one blob. The
+    default 0.0 reproduces the historical fixture scenes bit-for-bit."""
     os.makedirs(path, exist_ok=True)
     for sub in ["gt_imgs", "torso_imgs", "parsing", "teeth_mask", "ori_imgs"]:
         os.makedirs(os.path.join(path, sub), exist_ok=True)
@@ -26,7 +34,34 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
     from PIL import Image
 
     h = w = size
-    focal = size * 2.0
+    # focal_mult sets the head's WORLD size: radius 10/3 with focal f puts
+    # the head at world radius 0.28*size*(10/3)/f. The historical 2.0 gives
+    # ~0.47 — 3x larger than a tracked real head (the motion nets' hash
+    # grids clamp at bound 0.15, scene/motion_net.py:212-218), leaving most
+    # splats with zero positional features. Motion-transfer experiments
+    # pass ~8.0 so the head spans ~±0.12 like real tracked data.
+    focal = size * focal_mult
+
+    # identity parameters (all collapse to the historical constants at
+    # variation=0; a separate stream keeps the audio rng draws unchanged)
+    vrng = np.random.default_rng(seed + 1000)
+    v = variation
+    period = 10.0 + v * float(vrng.uniform(-3.0, 4.0))   # talking cadence
+    r_fac = 0.28 + v * float(vrng.uniform(-0.04, 0.04))  # head size
+    mouth_w = 0.08 * (1.0 + v * float(vrng.uniform(-0.3, 0.3)))
+    mouth_amp = 0.03 * (1.0 + v * float(vrng.uniform(-0.3, 0.4)))
+    mouth_pos = 0.45 + v * float(vrng.uniform(-0.08, 0.08))
+    head_col = tuple(np.clip(np.array((200, 160, 140))
+                             + v * vrng.uniform(-45, 45, 3), 0, 255)
+                     .astype(np.uint8))
+    hair_col = tuple(np.clip(np.array((30, 20, 10))
+                             + v * vrng.uniform(0, 50, 3), 0, 255)
+                     .astype(np.uint8))
+    mouth_col = tuple(np.clip(np.array((120, 40, 40))
+                              + v * vrng.uniform(-30, 30, 3), 0, 255)
+                      .astype(np.uint8))
+    bob = (3.0 * (1 + v * float(vrng.uniform(-0.5, 0.5))),
+           2.0 * (1 + v * float(vrng.uniform(-0.5, 0.5))))
 
     # background
     bc = np.full((h, w, 3), (40, 80, 120), np.uint8)
@@ -37,22 +72,23 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
 
     frames_meta = []
     for i in range(total):
-        phase = np.sin(2 * np.pi * i / 10.0)
-        cx, cy = w / 2 + 3 * np.cos(i / 5.0), h / 2 + 2 * np.sin(i / 7.0)
-        r_head = size * 0.28
+        phase = np.sin(2 * np.pi * i / period)
+        cx = w / 2 + bob[0] * np.cos(i / 5.0)
+        cy = h / 2 + bob[1] * np.sin(i / 7.0)
+        r_head = size * r_fac
 
         d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
         head = d < r_head
         # mouth: small ellipse below center whose height follows "audio"
-        mh = size * 0.03 * (1.2 + phase)
-        mouth = (((xx - cx) / (size * 0.08)) ** 2 +
-                 ((yy - (cy + r_head * 0.45)) / max(mh, 1e-3)) ** 2) < 1.0
+        mh = size * mouth_amp * (1.2 + phase)
+        mouth = (((xx - cx) / (size * mouth_w)) ** 2 +
+                 ((yy - (cy + r_head * mouth_pos)) / max(mh, 1e-3)) ** 2) < 1.0
         hair = (d < r_head * 1.15) & (yy < cy - r_head * 0.5)
 
         img = bc.copy()
-        img[head] = (200, 160, 140)
-        img[mouth] = (120, 40, 40)
-        img[hair] = (30, 20, 10)
+        img[head] = head_col
+        img[mouth] = mouth_col
+        img[hair] = hair_col
         Image.fromarray(img).save(os.path.join(path, "gt_imgs", f"{i}.jpg"),
                                   quality=95)
 
@@ -94,12 +130,12 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
             a2 = np.linspace(0, 2 * np.pi, 6, endpoint=False)
             lms[36 + 6 * k: 42 + 6 * k, 0] = ex + 5 * np.cos(a2)
             lms[36 + 6 * k: 42 + 6 * k, 1] = cy - r_head * .2 + 3 * np.sin(a2)
-        mouth_cy = cy + r_head * 0.45
+        mouth_cy = cy + r_head * mouth_pos
         a3 = np.linspace(0, 2 * np.pi, 12, endpoint=False)
-        lms[48:60, 0] = cx + size * 0.09 * np.cos(a3)
+        lms[48:60, 0] = cx + size * (mouth_w + 0.01) * np.cos(a3)
         lms[48:60, 1] = mouth_cy + (mh + 2) * np.sin(a3)
         a4 = np.linspace(0, 2 * np.pi, 8, endpoint=False)
-        lms[60:68, 0] = cx + size * 0.06 * np.cos(a4)
+        lms[60:68, 0] = cx + size * (mouth_w - 0.02) * np.cos(a4)
         lms[60:68, 1] = mouth_cy + mh * np.sin(a4)
         np.savetxt(os.path.join(path, "ori_imgs", f"{i}.lms"), lms, "%.2f")
 
@@ -132,7 +168,7 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
     dims = {"deepspeech": 29, "esperanto": 44, "hubert": 1024, "ave": 512}
     d = dims[audio_extractor]
     t = np.arange(total, dtype=np.float32)
-    base = np.sin(2 * np.pi * t / 10.0)
+    base = np.sin(2 * np.pi * t / period)
     aud = (base[:, None, None]
            * rng.normal(size=(1, 16, d)).astype(np.float32)
            + 0.05 * rng.normal(size=(total, 16, d)).astype(np.float32))
@@ -147,7 +183,7 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
     for i_au in [1, 2, 4, 5, 6, 7, 9, 10, 12, 14, 15, 17, 20, 23, 25, 26, 45]:
         cols[f"AU{i_au:02d}_r"] = np.abs(
             rng.normal(0.5, 0.3, total)).astype(np.float32)
-    cols["AU25_r"] = (1.2 + np.sin(2 * np.pi * t / 10.0)).astype(np.float32)
+    cols["AU25_r"] = (1.2 + np.sin(2 * np.pi * t / period)).astype(np.float32)
     pd.DataFrame(cols).to_csv(os.path.join(path, "au.csv"), index=False)
 
     # random init point cloud

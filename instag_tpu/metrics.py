@@ -50,6 +50,36 @@ def video_lpips(frames_a: np.ndarray, frames_b: np.ndarray,
     return float(np.mean(vals))
 
 
+def load_gt_landmarks(source_path: str, img_ids: list[int]) -> np.ndarray | None:
+    """Stack the dataset's precomputed ``ori_imgs/{id}.lms`` landmark files
+    for the given frames (the reference preprocessing's face_alignment
+    output, data_utils/process.py task 7); None when any is missing."""
+    import os
+    out = []
+    for i in img_ids:
+        p = os.path.join(source_path, "ori_imgs", f"{i}.lms")
+        if not os.path.exists(p):
+            return None
+        out.append(np.loadtxt(p, dtype=np.float32))
+    return np.stack(out)
+
+
+def track_video_landmarks(frames: np.ndarray) -> np.ndarray | None:
+    """Run the in-repo FAN tracker (data_utils/landmarks.py) over rendered
+    frames [T,H,W,3] uint8 -> [T,68,2], the reference metrics.py LMDMeter
+    protocol (it runs face_alignment on BOTH videos, :189-217). Returns
+    None with a loud message when the public 2DFAN weights are not mounted
+    (egress-gated in this image; scripts/fetch_weights.sh)."""
+    try:
+        from .data_utils.landmarks import LandmarkTracker
+        tracker = LandmarkTracker()
+    except Exception as e:  # missing weights / torch import issue
+        print(f"[metrics] LMD SKIPPED — FAN landmark tracker unavailable: "
+              f"{e}", flush=True)
+        return None
+    return np.stack([tracker(np.asarray(f)) for f in frames])
+
+
 def lmd_from_landmarks(lms_a: np.ndarray, lms_b: np.ndarray) -> float:
     """Landmark distance on the mouth region (indices 48:68), after
     normalizing each face by translation (metrics.py LMDMeter semantics):

@@ -42,4 +42,4 @@ python -m instag_tpu.cli.synthesize_fuse \
 # close the eval loop (reference train_xx_few.sh last line:
 # metrics.py renders/out.mp4 gt/out.mp4)
 python -m instag_tpu.cli.metrics \
-    --pred "$OUT/out.mp4" --gt "$OUT/gt.mp4"
+    --pred "$OUT/out.mp4" --gt "$OUT/gt.mp4" --track

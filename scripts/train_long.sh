@@ -35,4 +35,4 @@ python -m instag_tpu.cli.synthesize_fuse \
 
 # close the eval loop (train_xx_long.sh last line)
 python -m instag_tpu.cli.metrics \
-    --pred "$OUT/out.mp4" --gt "$OUT/gt.mp4"
+    --pred "$OUT/out.mp4" --gt "$OUT/gt.mp4" --track
