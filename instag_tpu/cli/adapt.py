@@ -104,7 +104,7 @@ def _warm_stage_compiles(mc, oc, fuse_iterations: int,
                            use_regs=jnp.ones((n,), jnp.float32),
                            valid=jnp.ones((n,), jnp.float32))
         blk.lower(st, gopt, m_umf, umf_opt, m_pmf, pmf_opt, fst, f_umf,
-                  batch, jnp.zeros((n,), jnp.int32),
+                  batch, jnp.zeros((n, 1), jnp.int32),
                   jnp.arange(1, n + 1, dtype=jnp.int32),
                   jnp.full((n,), 10, jnp.int32), flags).compile()
         print("[adapt] warmed mouth-block executable", flush=True)
@@ -136,7 +136,7 @@ def _warm_stage_compiles(mc, oc, fuse_iterations: int,
         m_pmf2 = jax.jit(mouth_pmf_i.init)(k, x0, a0)
         bl = 100
         fblk.lower(fst2, fgopt, mst2, mgopt, f_umf2, m_umf2, f_pmf2, m_pmf2,
-                   batch, jnp.zeros((bl,), jnp.int32),
+                   batch, jnp.zeros((bl, 1), jnp.int32),
                    jnp.arange(1, bl + 1, dtype=jnp.int32),
                    jnp.zeros((bl,), jnp.int32),
                    jnp.zeros((bl,), jnp.float32),
@@ -254,7 +254,9 @@ def main(argv=None):
                                   capacity=mc.capacity)
     mouth_res = train_mouth(mcm, oc, face_bundle=face_bundle,
                             pretrain_bundle=load_pre("mouth"),
-                            long=args.long, seed=args.seed)
+                            long=args.long, seed=args.seed,
+                            data_parallel=args.data_parallel,
+                            dp_mesh=dp_mesh)
     save_bundle(os.path.join(mc.model_path, "chkpnt_mouth_latest.pkl"),
                 dict(state=state_to_dict(mouth_res["state"]),
                      umf_params=mouth_res["umf_params"],
@@ -274,7 +276,8 @@ def main(argv=None):
     mouth_bundle = dict(state=mouth_res["state"],
                         umf_params=mouth_res["umf_params"],
                         pmf_params=mouth_res["pmf_params"])
-    fuse_res = train_fuse(mc, ocf, face_bundle, mouth_bundle, seed=args.seed)
+    fuse_res = train_fuse(mc, ocf, face_bundle, mouth_bundle, seed=args.seed,
+                          data_parallel=args.data_parallel, dp_mesh=dp_mesh)
     fuse_bundle = dict(
         face_state=fuse_res["face_state"],
         mouth_state=fuse_res["mouth_state"],

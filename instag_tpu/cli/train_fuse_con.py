@@ -16,14 +16,22 @@ from ..train.fuse import train_fuse
 def main(argv=None):
     parser = make_parser("Fusion fine-tune")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="frames per optimizer step, sharded over a "
+                             "'dp' device mesh (see cli/train_face)")
     mc, _, oc, args = parse_all(parser, argv)
+    dp_mesh = None
+    if args.data_parallel > 1:
+        from ..parallel import make_mesh
+        dp_mesh = make_mesh(args.data_parallel)
 
     face = load_bundle(os.path.join(mc.model_path, "chkpnt_face_latest.pkl"))
     face["state"] = state_from_dict(face["state"])
     mouth = load_bundle(os.path.join(mc.model_path, "chkpnt_mouth_latest.pkl"))
     mouth["state"] = state_from_dict(mouth["state"])
 
-    res = train_fuse(mc, oc, face, mouth, seed=args.seed)
+    res = train_fuse(mc, oc, face, mouth, seed=args.seed,
+                     data_parallel=args.data_parallel, dp_mesh=dp_mesh)
 
     bundle = dict(
         face_state=state_to_dict(res["face_state"]),

@@ -18,8 +18,15 @@ def main(argv=None):
     parser.add_argument("--pretrain_path", type=str, default="")
     parser.add_argument("--start_checkpoint", type=str, default="")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="frames per optimizer step, sharded over a "
+                             "'dp' device mesh (see cli/train_face)")
     mc, _, oc, args = parse_all(parser, argv)
     mc.type = "mouth"
+    dp_mesh = None
+    if args.data_parallel > 1:
+        from ..parallel import make_mesh
+        dp_mesh = make_mesh(args.data_parallel)
 
     face = load_bundle(os.path.join(mc.model_path, "chkpnt_face_latest.pkl"))
     face["state"] = state_from_dict(face["state"])
@@ -33,7 +40,8 @@ def main(argv=None):
     resume = load_bundle(args.start_checkpoint) if args.start_checkpoint \
         else None
     res = train_mouth(mc, oc, face_bundle=face, pretrain_bundle=pretrain,
-                      long=args.long, seed=args.seed, resume_bundle=resume)
+                      long=args.long, seed=args.seed, resume_bundle=resume,
+                      data_parallel=args.data_parallel, dp_mesh=dp_mesh)
 
     bundle = dict(state=state_to_dict(res["state"]),
                   umf_params=res["umf_params"],

@@ -47,6 +47,20 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
     vrng = np.random.default_rng(seed + 1000)
     v = variation
     period = 10.0 + v * float(vrng.uniform(-3.0, 4.0))   # talking cadence
+    # Under variation the mouth-openness signal is a NON-periodic two-tone
+    # mix (incommensurate golden-ratio second period): a 10-s few-shot clip
+    # then never covers the full audio-motion product space, which is what
+    # makes pretraining vs from-scratch discriminative. At variation=0 the
+    # historical single sinusoid is reproduced exactly.
+    period2 = period * 1.6180339887
+    phase2 = v * float(vrng.uniform(0, 2 * np.pi))
+
+    def openness(tt):
+        tt = np.asarray(tt, np.float64)
+        if v == 0:
+            return np.sin(2 * np.pi * tt / period)
+        return (0.6 * np.sin(2 * np.pi * tt / period)
+                + 0.4 * np.sin(2 * np.pi * tt / period2 + phase2))
     r_fac = 0.28 + v * float(vrng.uniform(-0.04, 0.04))  # head size
     mouth_w = 0.08 * (1.0 + v * float(vrng.uniform(-0.3, 0.3)))
     mouth_amp = 0.03 * (1.0 + v * float(vrng.uniform(-0.3, 0.4)))
@@ -72,7 +86,7 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
 
     frames_meta = []
     for i in range(total):
-        phase = np.sin(2 * np.pi * i / period)
+        phase = float(openness(i))
         cx = w / 2 + bob[0] * np.cos(i / 5.0)
         cy = h / 2 + bob[1] * np.sin(i / 7.0)
         r_head = size * r_fac
@@ -168,9 +182,16 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
     dims = {"deepspeech": 29, "esperanto": 44, "hubert": 1024, "ave": 512}
     d = dims[audio_extractor]
     t = np.arange(total, dtype=np.float32)
-    base = np.sin(2 * np.pi * t / period)
-    aud = (base[:, None, None]
-           * rng.normal(size=(1, 16, d)).astype(np.float32)
+    base = openness(t).astype(np.float32)
+    # Audio projection: per-identity at variation=0 (historical fixtures);
+    # SHARED at variation>0 — real identities share one fixed audio
+    # extractor (DeepSpeech/wav2vec), so the feature basis encoding the
+    # openness signal is identical across people. A UMF's AudioNet learns
+    # that shared decoding during pre-training; per-identity projections
+    # would (unrealistically) make the held-out identity's audio unreadable.
+    arng = rng if v == 0 else np.random.default_rng(424242)
+    proj = arng.normal(size=(1, 16, d)).astype(np.float32)
+    aud = (base[:, None, None] * proj
            + 0.05 * rng.normal(size=(total, 16, d)).astype(np.float32))
     postfix = {"deepspeech": "_ds", "esperanto": "_eo", "hubert": "_hu",
                "ave": "_ave"}[audio_extractor]
@@ -183,7 +204,7 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
     for i_au in [1, 2, 4, 5, 6, 7, 9, 10, 12, 14, 15, 17, 20, 23, 25, 26, 45]:
         cols[f"AU{i_au:02d}_r"] = np.abs(
             rng.normal(0.5, 0.3, total)).astype(np.float32)
-    cols["AU25_r"] = (1.2 + np.sin(2 * np.pi * t / period)).astype(np.float32)
+    cols["AU25_r"] = (1.2 + openness(t)).astype(np.float32)
     pd.DataFrame(cols).to_csv(os.path.join(path, "au.csv"), index=False)
 
     # random init point cloud

@@ -50,73 +50,107 @@ def fuse_patch_sizes(h: int, w: int) -> tuple[int, ...]:
 
 def make_fuse_block(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
                     face_pmf_net, mouth_pmf_net, spatial_lr_scale,
-                    lpips_fn=None, lpips_patches: tuple[int, ...] = ()):
+                    lpips_fn=None, lpips_patches: tuple[int, ...] = (),
+                    dp: int = 1, mesh=None):
+    """``dp=B``: the full per-frame fuse loss (composite + LPIPS cond)
+    vmaps over a ``[B]`` index row per step; parameters update once with
+    the mean gradient (see make_face_block). ``mesh`` shards the gathered
+    rows over the 'dp' axis."""
+    row_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        row_sharding = NamedSharding(mesh, PartitionSpec("dp"))
 
-    def _step_inner(face_state, face_gopt, mouth_state, mouth_gopt,
-                    face_umf_params, mouth_umf_params, face_pmf_params,
-                    mouth_pmf_params, batch: FrameBatch, i, it, patch_idx,
-                    use_lpips, lp):
+    def frame_loss(face_state, mouth_state, f_umf, m_umf, f_pmf, m_pmf,
+                   face_params, mouth_params, batch: FrameBatch, i,
+                   patch_idx, use_lpips, lp):
         cam = batch.camera(i)
         gt = batch.gt_image(i)
         aud = batch.auds[i]
         exp = batch.au_exp[i]
         torso_bg = batch.bg_image(i)
+        sg = jax.lax.stop_gradient
 
+        # geometry frozen (reference requires_grad=False, :156-164):
+        # stop-gradient so no geometry backward is built at all
+        fst = face_state.replace(params=face_params.replace(
+            xyz=sg(face_params.xyz), scaling=sg(face_params.scaling),
+            rotation=sg(face_params.rotation)))
+        mst = mouth_state.replace(params=mouth_params.replace(
+            xyz=sg(mouth_params.xyz), scaling=sg(mouth_params.scaling),
+            rotation=sg(mouth_params.rotation),
+            opacity=sg(mouth_params.opacity)))
+        fr = render_motion(
+            cfg, cam, fst,
+            umf=lambda x, a, e: face_net.apply(f_umf, x, a, e),
+            aud=aud, exp=exp, bg=GREEN,
+            pmf=lambda x, a, e: face_pmf_net.apply(f_pmf, x, a, e),
+            personalized=False, align=True)
+        mrr = render_motion_mouth(
+            cfg, cam, mst,
+            mouth_umf=lambda x, a, m: mouth_net.apply(m_umf, x, a, m),
+            face_state=fst,
+            face_umf=lambda x, a, e: face_net.apply(f_umf, x, a, e),
+            aud=aud, bg=GREEN,
+            pmf=lambda x, a: mouth_pmf_net.apply(m_pmf, x, a),
+            personalized=False, align=True)
+        image = composite_fuse(fr.out.image, fr.out.alpha,
+                               mrr.out.image, mrr.out.alpha,
+                               GREEN, torso_bg)
+        loss = l1_loss(image, gt)
+        loss += opt_cfg.lambda_dssim * (1.0 - ssim(image, gt))
+        if lpips_fn is not None and lpips_patches:
+            # lax.cond: first-half steps skip the AlexNet entirely and
+            # the whole run is ONE compiled block (VERDICT r2 item 1)
+            def lp_terms(operands):
+                img_, gt_, pidx_ = operands
+
+                def lp_branch(ps):
+                    def run(imgs):
+                        a, b = imgs
+                        return lpips_fn(lp, patchify(a * 2 - 1, ps),
+                                        patchify(b * 2 - 1, ps)).mean()
+                    return run
+                return 0.05 * jax.lax.switch(
+                    pidx_, [lp_branch(ps) for ps in lpips_patches],
+                    (img_, gt_))
+
+            loss += jax.lax.cond(use_lpips > 0.5, lp_terms,
+                                 lambda operands: jnp.float32(0.0),
+                                 (image, gt, patch_idx))
+        return loss
+
+    def _step_inner(face_state, face_gopt, mouth_state, mouth_gopt,
+                    face_umf_params, mouth_umf_params, face_pmf_params,
+                    mouth_pmf_params, batch: FrameBatch, i, it, patch_idx,
+                    use_lpips, lp):
         sg = jax.lax.stop_gradient
         f_umf = jax.tree.map(sg, face_umf_params)
         m_umf = jax.tree.map(sg, mouth_umf_params)
         f_pmf = jax.tree.map(sg, face_pmf_params)
         m_pmf = jax.tree.map(sg, mouth_pmf_params)
 
-        def loss_fn(face_params, mouth_params):
-            # geometry frozen (reference requires_grad=False, :156-164):
-            # stop-gradient so no geometry backward is built at all
-            fst = face_state.replace(params=face_params.replace(
-                xyz=sg(face_params.xyz), scaling=sg(face_params.scaling),
-                rotation=sg(face_params.rotation)))
-            mst = mouth_state.replace(params=mouth_params.replace(
-                xyz=sg(mouth_params.xyz), scaling=sg(mouth_params.scaling),
-                rotation=sg(mouth_params.rotation),
-                opacity=sg(mouth_params.opacity)))
-            fr = render_motion(
-                cfg, cam, fst,
-                umf=lambda x, a, e: face_net.apply(f_umf, x, a, e),
-                aud=aud, exp=exp, bg=GREEN,
-                pmf=lambda x, a, e: face_pmf_net.apply(f_pmf, x, a, e),
-                personalized=False, align=True)
-            mrr = render_motion_mouth(
-                cfg, cam, mst,
-                mouth_umf=lambda x, a, m: mouth_net.apply(m_umf, x, a, m),
-                face_state=fst,
-                face_umf=lambda x, a, e: face_net.apply(f_umf, x, a, e),
-                aud=aud, bg=GREEN,
-                pmf=lambda x, a: mouth_pmf_net.apply(m_pmf, x, a),
-                personalized=False, align=True)
-            image = composite_fuse(fr.out.image, fr.out.alpha,
-                                   mrr.out.image, mrr.out.alpha,
-                                   GREEN, torso_bg)
-            loss = l1_loss(image, gt)
-            loss += opt_cfg.lambda_dssim * (1.0 - ssim(image, gt))
-            if lpips_fn is not None and lpips_patches:
-                # lax.cond: first-half steps skip the AlexNet entirely and
-                # the whole run is ONE compiled block (VERDICT r2 item 1)
-                def lp_terms(operands):
-                    img_, gt_, pidx_ = operands
+        if dp == 1:
+            def loss_fn(face_params, mouth_params):
+                return frame_loss(face_state, mouth_state, f_umf, m_umf,
+                                  f_pmf, m_pmf, face_params, mouth_params,
+                                  batch, i[0], patch_idx, use_lpips, lp)
+        else:
+            rows = jax.tree.map(lambda x: x[i], batch)
+            if row_sharding is not None:
+                rows = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, row_sharding), rows)
 
-                    def lp_branch(ps):
-                        def run(imgs):
-                            a, b = imgs
-                            return lpips_fn(lp, patchify(a * 2 - 1, ps),
-                                            patchify(b * 2 - 1, ps)).mean()
-                        return run
-                    return 0.05 * jax.lax.switch(
-                        pidx_, [lp_branch(ps) for ps in lpips_patches],
-                        (img_, gt_))
+            def loss_fn(face_params, mouth_params):
+                def per_frame(row):
+                    return frame_loss(
+                        face_state, mouth_state, f_umf, m_umf, f_pmf, m_pmf,
+                        face_params, mouth_params,
+                        jax.tree.map(lambda x: x[None], row), 0,
+                        patch_idx, use_lpips, lp)
 
-                loss += jax.lax.cond(use_lpips > 0.5, lp_terms,
-                                     lambda operands: jnp.float32(0.0),
-                                     (image, gt, patch_idx))
-            return loss
+                return jnp.mean(jax.vmap(per_frame)(rows))
 
         loss, (g_face, g_mouth) = jax.value_and_grad(
             loss_fn, argnums=(0, 1))(face_state.params, mouth_state.params)
@@ -163,7 +197,8 @@ def make_fuse_block(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
 def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                face_bundle: dict, mouth_bundle: dict,
                log_every: int = 500, seed: int = 0,
-               lpips_enabled: bool = True):
+               lpips_enabled: bool = True,
+               data_parallel: int = 1, dp_mesh=None):
     from .common import load_training_frames
     records = load_training_frames(model_cfg)
     batch = build_frame_batch(records)
@@ -220,7 +255,8 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     run = make_fuse_block(cfg, opt_cfg, face_net, mouth_net, face_pmf,
                           mouth_pmf, extent,
                           lpips_call if lpips_enabled else None,
-                          patch_sizes if lpips_enabled else ())
+                          patch_sizes if lpips_enabled else (),
+                          dp=data_parallel, mesh=dp_mesh)
 
     rng = np.random.default_rng(seed)
     losses = []
@@ -231,7 +267,8 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         block_end = min(iterations, ((it - 1) // block_len + 1) * block_len)
         steps = list(range(it, block_end + 1))
         n = len(steps)
-        idxs = [int(rng.integers(batch.num_frames)) for _ in steps]
+        idxs = [[int(rng.integers(batch.num_frames))
+                 for _ in range(data_parallel)] for _ in steps]
         pidx = [int(rng.integers(len(patch_sizes))) for _ in steps]
         ul = [float(s > lpips_start) for s in steps]
         valid = [1.0] * n

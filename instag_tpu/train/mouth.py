@@ -49,82 +49,133 @@ class MouthFlags:
 
 
 def make_mouth_block(cfg: RasterizeConfig, opt_cfg, mouth_net, pmf_net,
-                     face_net, spatial_lr_scale, umf_tx, pmf_tx):
+                     face_net, spatial_lr_scale, umf_tx, pmf_tx,
+                     dp: int = 1, mesh=None):
     """Jitted multi-step mouth training block (lax.scan over steps; see
-    train/face.py for the loop-structure rationale)."""
+    train/face.py for the loop-structure rationale).
 
-    def _step_inner(state, gopt, umf_params, umf_opt_state, pmf_params,
-                    pmf_opt_state, face_state, face_umf_params,
-                    batch: FrameBatch, i, it, k, flags: MouthFlags):
+    ``dp=B``: every scan step consumes a ``[B]`` row of frame indices and
+    vmaps the FULL per-frame loss over them (one shared k per step),
+    updating once with the mean gradient and accumulating densification
+    stats as the per-frame SUM — exactly like make_face_block(dp=B). With
+    ``mesh`` the gathered rows shard over the 'dp' axis (model replicated,
+    grads all-reduce over ICI). ``dp=1`` keeps the un-vmapped serial graph
+    (the vmap-over-1 penalty, BASELINE.md r3)."""
+    h, w = cfg.image_height, cfg.image_width
+    row_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        row_sharding = NamedSharding(mesh, PartitionSpec("dp"))
+
+    def step_loss(st, umf_p, pmf_p, off, face_state, face_umf_frozen,
+                  batch: FrameBatch, i, k, flags: MouthFlags):
         cam = batch.camera(i)
         gt = batch.gt_image(i)
         aud = batch.auds[i]
         mouth_m = batch.mouth_mask[i]
-        h, w = cfg.image_height, cfg.image_width
         rect = batch.lips_rect[i]
         lips_m = rect_mask(h, w, rect)
 
-        offset0 = jnp.zeros((state.capacity, 2))
-        face_umf_frozen = jax.tree.map(jax.lax.stop_gradient, face_umf_params)
+        mr = render_motion_mouth(
+            cfg, cam, st,
+            mouth_umf=lambda x, a, m: mouth_net.apply(umf_p, x, a, m),
+            face_state=face_state,
+            face_umf=lambda x, a, e: face_net.apply(face_umf_frozen, x, a, e),
+            aud=aud, bg=GREEN,
+            pmf=lambda x, a: pmf_net.apply(pmf_p, x, a),
+            personalized=False, align=flags.align, k=k,
+            means2d_offset=off)
+        out = mr.out
+        image = out.image
+        alpha = out.alpha
 
-        def loss_fn(gparams, umf_p, pmf_p, off):
-            st = state.replace(params=gparams)
-            mr = render_motion_mouth(
-                cfg, cam, st,
-                mouth_umf=lambda x, a, m: mouth_net.apply(umf_p, x, a, m),
-                face_state=face_state,
-                face_umf=lambda x, a, e: face_net.apply(face_umf_frozen, x, a, e),
-                aud=aud, bg=GREEN,
-                pmf=lambda x, a: pmf_net.apply(pmf_p, x, a),
-                personalized=False, align=flags.align, k=k,
-                means2d_offset=off)
-            out = mr.out
-            image = out.image
-            alpha = out.alpha
+        gt_green = jnp.where(mouth_m[None], gt, GREEN[:, None, None])
+        band = lips_m ^ mouth_m
+        img = jnp.where(band[None], GREEN[:, None, None], image)
 
-            gt_green = jnp.where(mouth_m[None], gt, GREEN[:, None, None])
-            band = lips_m ^ mouth_m
-            img = jnp.where(band[None], GREEN[:, None, None], image)
-
-            loss = l1_loss(img, gt_green)
-            loss += opt_cfg.lambda_dssim * (1.0 - ssim(img, gt_green))
-            loss += flags.use_regs * 1e-5 * jnp.abs(mr.p_motion["p_xyz"]).mean()
-            lm = lips_m[None].astype(jnp.float32)
-            loss += flags.use_regs * 1e-3 * (
-                ((1 - alpha) * lm).mean() + (alpha * (1 - lm)).mean())
-            return loss, out
-
-        (loss, out), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
-                state.params, umf_params, pmf_params, offset0)
-        g_gauss, g_umf, g_pmf, g_off = grads
-
-        lrs = gaussian_lrs(opt_cfg, it, spatial_lr_scale)
-        new_params, gopt = G.adam_update(state.params, g_gauss, gopt, lrs,
-                                         state.alive)
-        state = state.replace(params=new_params)
-        upd, umf_opt_state = umf_tx.update(g_umf, umf_opt_state, umf_params)
-        umf_params = jax.tree.map(lambda p, u: p + u, umf_params, upd)
-        updp, pmf_opt_state = pmf_tx.update(g_pmf, pmf_opt_state, pmf_params)
-        pmf_params = jax.tree.map(lambda p, u: p + u, pmf_params, updp)
-
-        visible = out.radii > 0
-        state = G.add_densification_stats(state, g_off, visible)
-        state = G.update_max_radii(state, out.radii, visible)
-        return state, gopt, umf_params, umf_opt_state, pmf_params, \
-            pmf_opt_state, loss
+        loss = l1_loss(img, gt_green)
+        loss += opt_cfg.lambda_dssim * (1.0 - ssim(img, gt_green))
+        loss += flags.use_regs * 1e-5 * jnp.abs(mr.p_motion["p_xyz"]).mean()
+        lm = lips_m[None].astype(jnp.float32)
+        loss += flags.use_regs * 1e-3 * (
+            ((1 - alpha) * lm).mean() + (alpha * (1 - lm)).mean())
+        return loss, out
 
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
     def block(state, gopt, umf_params, umf_opt_state, pmf_params,
               pmf_opt_state, face_state, face_umf_params, batch: FrameBatch,
               idxs, its, ks, flags: MouthFlags):
         def one(carry, xs):
-            i, it, k, flag = xs
-            out = _step_inner(*carry, face_state, face_umf_params, batch,
-                              i, it, k, flag)
-            new_carry = jax.tree.map(
-                lambda n, o: jnp.where(flag.valid > 0, n, o), out[:-1], carry)
-            return new_carry, out[-1]
+            (state, gopt, umf_params, umf_opt_state, pmf_params,
+             pmf_opt_state) = carry
+            i, it, k, flag = xs              # i: [B] frame indices
+            face_umf_frozen = jax.tree.map(jax.lax.stop_gradient,
+                                           face_umf_params)
+
+            if dp == 1:
+                offset0 = jnp.zeros((state.capacity, 2))
+
+                def loss_fn(gparams, umf_p, pmf_p, off):
+                    return step_loss(state.replace(params=gparams), umf_p,
+                                     pmf_p, off, face_state, face_umf_frozen,
+                                     batch, i[0], k, flag)
+            else:
+                offset0 = jnp.zeros((dp, state.capacity, 2))
+                rows = jax.tree.map(lambda x: x[i], batch)
+                if row_sharding is not None:
+                    rows = jax.tree.map(
+                        lambda x: jax.lax.with_sharding_constraint(
+                            x, row_sharding), rows)
+                    offset0 = jax.lax.with_sharding_constraint(
+                        offset0, row_sharding)
+
+                def loss_fn(gparams, umf_p, pmf_p, off):
+                    st = state.replace(params=gparams)
+
+                    def per_frame(row, off_b):
+                        return step_loss(
+                            st, umf_p, pmf_p, off_b, face_state,
+                            face_umf_frozen,
+                            jax.tree.map(lambda x: x[None], row), 0, k, flag)
+
+                    losses, outs = jax.vmap(per_frame)(rows, off)
+                    return jnp.mean(losses), outs
+
+            (loss, out), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+                    state.params, umf_params, pmf_params, offset0)
+            g_gauss, g_umf, g_pmf, g_off = grads
+
+            lrs = gaussian_lrs(opt_cfg, it, spatial_lr_scale)
+            new_params, new_gopt = G.adam_update(state.params, g_gauss, gopt,
+                                                 lrs, state.alive)
+            new_state = state.replace(params=new_params)
+            upd, new_umf_opt = umf_tx.update(g_umf, umf_opt_state, umf_params)
+            new_umf = jax.tree.map(lambda p, u: p + u, umf_params, upd)
+            updp, new_pmf_opt = pmf_tx.update(g_pmf, pmf_opt_state,
+                                              pmf_params)
+            new_pmf = jax.tree.map(lambda p, u: p + u, pmf_params, updp)
+
+            visible = out.radii > 0                  # [B, N] ([N] serial)
+            if dp == 1:
+                new_state = G.add_densification_stats(new_state, g_off,
+                                                      visible)
+                new_state = G.update_max_radii(new_state, out.radii, visible)
+            else:
+                # undo the mean-loss 1/B on the offset grads so accumulated
+                # per-frame norms equal B serial steps (train/face.py)
+                new_state = G.add_densification_stats_batch(
+                    new_state, g_off * dp, visible)
+                new_state = G.update_max_radii_batch(new_state, out.radii,
+                                                     visible)
+
+            new_carry = (new_state, new_gopt, new_umf, new_umf_opt, new_pmf,
+                         new_pmf_opt)
+            carry = jax.tree.map(
+                lambda n, o: jnp.where(flag.valid > 0, n, o), new_carry,
+                (state, gopt, umf_params, umf_opt_state, pmf_params,
+                 pmf_opt_state))
+            return carry, loss
 
         carry, losses = jax.lax.scan(
             one,
@@ -192,7 +243,8 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                 long: bool = False, log_every: int = 500,
                 warm_step: int = 3000, seed: int = 0,
                 resume_bundle: dict | None = None,
-                stream: bool | None = None, stream_threshold: int = 1000):
+                stream: bool | None = None, stream_threshold: int = 1000,
+                data_parallel: int = 1, dp_mesh=None):
     from .common import HostFrameStore, load_training_frames
     records = load_training_frames(model_cfg)
     if stream is None:
@@ -258,7 +310,8 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         first_iter = int(resume_bundle.get("iteration", 0)) + 1
 
     block = make_mouth_block(cfg, opt_cfg, mouth_net, pmf_net, face_net,
-                             extent, umf_tx, pmf_tx)
+                             extent, umf_tx, pmf_tx, dp=data_parallel,
+                             mesh=dp_mesh)
 
     au25_vals = [r.au25[0] for r in records]
     au25_pcts = records[0].au25[1:]
@@ -276,9 +329,10 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                         ((it - 1) // 1000 + 1) * 1000)
         idxs, its_arr, ks, al, ur = [], [], [], [], []
         for step_i in range(it, block_end + 1):
-            idxs.append(sample_mouth_curriculum(
+            idxs.append([sample_mouth_curriculum(
                 rng, au25_vals, au25_pcts, mouth_px, stack, step_i,
-                warm_step, iterations, 7 if long else 5))
+                warm_step, iterations, 7 if long else 5)
+                for _ in range(data_parallel)])
             its_arr.append(step_i)
             ks.append(int(rng.integers(10, 51)))     # :175
             al.append(float(step_i > 1000))
@@ -297,11 +351,13 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                            use_regs=jnp.asarray(ur, jnp.float32),
                            valid=jnp.asarray(va, jnp.float32))
         if stream:
-            blk_batch = batch.gather(idxs)
-            idx_arr = jnp.arange(len(idxs), dtype=jnp.int32)
+            flat = [j for row in idxs for j in row]
+            blk_batch = batch.gather(flat)
+            idx_arr = jnp.arange(len(flat), dtype=jnp.int32).reshape(
+                len(idxs), data_parallel)
         else:
             blk_batch = batch
-            idx_arr = jnp.asarray(idxs, jnp.int32)
+            idx_arr = jnp.asarray(idxs, jnp.int32)   # [n, B]
         (state, gopt, umf_params, umf_opt_state, pmf_params, pmf_opt_state,
          block_losses) = block(
             state, gopt, umf_params, umf_opt_state, pmf_params,
@@ -325,7 +381,8 @@ def train_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
             if end > 2000:
                 # host-side index (int(idx_arr[-1]) would sync on the whole
                 # queued block — see train/face.py)
-                li = (len(idxs) - 1) if stream else idxs[-1]
+                li = (len(idxs) * data_parallel - 1) if stream \
+                    else idxs[-1][-1]
                 state = _soften_green(state, blk_batch.camera_center[li])
         if (not long) and end % opt_cfg.opacity_reset_interval == 0 \
                 and end < densify_until:

