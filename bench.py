@@ -185,27 +185,37 @@ def main():
     mfu_stats["synthesis"] = _report(
         "synthesis", ms_frame, fl, by, extra=f"| {fps:.2f} FPS")
 
-    # pipelined per-frame dispatch (the deployment shape): each dispatch's
-    # audio is perturbed by the previous frame's device-side checksum, so
-    # frames chain on-device and the final fetch proves all of them ran
-    def synth_chk(a, exp, chk):
-        img = synth(a + chk * 1e-30, exp)
-        return img, jnp.sum(img[:, ::64, ::64], dtype=jnp.float32)
+    # pipelined dispatch (the deployment shape, matching synthesize()'s
+    # chunked loop): each dispatch scans DISPATCH_CHUNK frames in-device
+    # and is perturbed by the previous dispatch's checksum, so everything
+    # chains on-device and the final fetch proves all of it ran
+    from instag_tpu.synthesize import DISPATCH_CHUNK
 
-    synth_c = jax.jit(synth_chk).lower(aud, exp, jnp.float32(0)).compile()
-    _fetch(synth_c(aud, exp, jnp.float32(0))[1])
-    auds8 = [auds_stack[i] for i in range(8)]
+    def synth_chk(auds, exp, chk):
+        def body(c, it):
+            img = synth(auds[it % 8] + c * 1e-30, exp)
+            return c + jnp.sum(img[:, ::64, ::64], dtype=jnp.float32), None
+        return jax.lax.scan(body, chk,
+                            jnp.arange(DISPATCH_CHUNK, dtype=jnp.int32))[0]
+
+    synth_c = jax.jit(synth_chk).lower(auds_stack, exp,
+                                       jnp.float32(0)).compile()
+    _fetch(synth_c(auds_stack, exp, jnp.float32(0)))
+    n_disp = -(-n_frames // DISPATCH_CHUNK) * 2
     chk = jnp.float32(0)
     t0 = time.time()
-    for i in range(n_frames):
-        out, chk = synth_c(auds8[i % 8], exp, chk)
+    for _ in range(n_disp):
+        chk = synth_c(auds_stack, exp, chk)
     _fetch(chk)
     dt = time.time() - t0 - _RPC_MS / 1e3
-    fps_disp = n_frames / dt
-    print(f"# synthesis (per-frame dispatch): {fps_disp:.2f} FPS "
-          f"({1000*dt/n_frames:.1f} ms/frame)", file=sys.stderr)
+    fps_disp = n_disp * DISPATCH_CHUNK / dt
+    print(f"# synthesis (pipelined dispatch, chunk={DISPATCH_CHUNK}): "
+          f"{fps_disp:.2f} FPS "
+          f"({1000*dt/(n_disp*DISPATCH_CHUNK):.1f} ms/frame)",
+          file=sys.stderr)
     mfu_stats["synthesis_dispatch"] = dict(
-        ms=round(1000 * dt / n_frames, 2), fps=round(fps_disp, 2))
+        ms=round(1000 * dt / (n_disp * DISPATCH_CHUNK), 2),
+        fps=round(fps_disp, 2), chunk=DISPATCH_CHUNK)
 
     # sub-benchmark: rasterizer fwd+bwd ms/frame (training-path cost)
     def raster_grad(params):

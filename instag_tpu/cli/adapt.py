@@ -148,15 +148,18 @@ def _warm_stage_compiles(mc, oc, fuse_iterations: int,
         # synthesis stage used to pay on every run) ----
         if not fast:
             from ..data.dataset import load_frames
-            from ..synthesize import make_synthesis_fn
+            from ..synthesize import (DISPATCH_CHUNK,
+                                      make_synthesis_chunk_fn)
             vrecords = load_frames(mc.source_path, "val", mc.audio_extractor,
                                    -1, audio_file=mc.audio)
             if vrecords:
                 vbatch = build_frame_batch(vrecords)
-                synth = make_synthesis_fn(cfg, mc, dilate, False,
-                                          variants=True)
+                synth = make_synthesis_chunk_fn(cfg, mc, dilate, False,
+                                                variants=True)
                 synth.lower(fst2, mst2, f_umf2, m_umf2, f_pmf2, m_pmf2,
-                            vbatch, jnp.int32(0)).compile()
+                            vbatch,
+                            jnp.zeros((DISPATCH_CHUNK,), jnp.int32)
+                            ).compile()
                 print("[adapt] warmed synthesis executable", flush=True)
     except Exception as e:  # warming is best-effort; stages self-compile
         print(f"[adapt] stage warm-ahead skipped: {type(e).__name__}: {e}",

@@ -105,6 +105,37 @@ def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
     return synth
 
 
+DISPATCH_CHUNK = 4
+
+
+def make_synthesis_chunk_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
+                            dilate: bool = False,
+                            personalized: bool = False,
+                            variants: bool = False,
+                            chunk: int = DISPATCH_CHUNK):
+    """Chunked dispatch variant of :func:`make_synthesis_fn`:
+    fn(..., ivec [chunk]) renders ``chunk`` frames in ONE dispatch via an
+    in-jit lax.scan and returns them stacked uint8 [chunk, ...].
+
+    Per-dispatch overhead through the tunneled device costs ~0.7 ms/frame
+    (BENCH_r03 synthesis_dispatch 209 vs 247 FPS device throughput);
+    scanning 4 frames per dispatch quarters it for +3 frames (~16 ms) of
+    latency — immaterial for clip synthesis and well inside a live 40 ms
+    frame budget.
+    """
+    synth = make_synthesis_fn(cfg, model_cfg, dilate, personalized, variants)
+
+    @jax.jit
+    def synth_chunk(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
+                    mouth_pmf, batch: FrameBatch, ivec):
+        def one(_, i):
+            return None, synth(face_state, mouth_state, face_umf, mouth_umf,
+                               face_pmf, mouth_pmf, batch, i)
+        return jax.lax.scan(one, None, ivec)[1]
+
+    return synth_chunk
+
+
 def export_deformed_plys(cfg: RasterizeConfig, model_cfg: ModelConfig,
                          fuse_bundle: dict, batch: FrameBatch, out_dir: str,
                          n_frames: int = 11, personalized: bool = False):
@@ -167,8 +198,8 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
     cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
 
     variants = (not fast) and out_path is not None
-    synth_full = make_synthesis_fn(cfg, model_cfg, dilate, personalized,
-                                   variants=variants)
+    synth_full = make_synthesis_chunk_fn(cfg, model_cfg, dilate, personalized,
+                                         variants=variants)
 
     if dump_plys:
         export_deformed_plys(cfg, model_cfg, fuse_bundle, batch,
@@ -188,30 +219,34 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
         fuse_bundle["face_pmf_params"], fuse_bundle["mouth_pmf_params"],
         batch))
 
-    def synth(i):
-        return synth_full(*clip_args, jnp.int32(i))
+    def synth(ivec):
+        return synth_full(*clip_args, jnp.asarray(ivec, jnp.int32))
 
-    # dispatch ahead and fetch in half-window batches: when the dispatch
-    # queue fills, the OLDER half fetches as ONE jax.device_get (one RPC
-    # round trip per window//2 frames instead of per frame — the per-frame
-    # fetch RTT was the gap between dispatch-path and device-only
-    # throughput on the network-tunneled chip) while the newer half keeps
-    # the device busy through the transfer.
+    # chunked dispatch (DISPATCH_CHUNK frames per RPC — see
+    # make_synthesis_chunk_fn), dispatching ahead and fetching in
+    # half-window batches: when the dispatch queue fills, the OLDER half
+    # fetches as ONE jax.device_get (one RPC round trip per window//2
+    # chunks) while the newer half keeps the device busy through the
+    # transfer.
+    nf = batch.num_frames
+    idx_all = np.minimum(np.arange(-(-nf // DISPATCH_CHUNK)
+                                   * DISPATCH_CHUNK), nf - 1)
+    chunks = idx_all.reshape(-1, DISPATCH_CHUNK)
     frames = []
-    np.asarray(synth(0))                 # compile
+    np.asarray(synth(chunks[0]))         # compile
     t0 = time.time()
-    window = 64
+    window = 16                          # pending chunks (= 64 frames)
     pending = []
-    for i in range(batch.num_frames):
-        pending.append(synth(i))
+    for ch in chunks:
+        pending.append(synth(ch))
         if len(pending) >= window:
             frames.extend(jax.device_get(pending[:window // 2]))
             pending = pending[window // 2:]
     frames.extend(jax.device_get(pending))
     dt = time.time() - t0
-    achieved_fps = batch.num_frames / max(dt, 1e-9)
+    achieved_fps = nf / max(dt, 1e-9)
 
-    stacked = np.stack(frames)
+    stacked = np.concatenate(frames, axis=0)[:nf]
     if variants:
         video = stacked[:, 0]
         base = os.path.dirname(out_path) or "."
