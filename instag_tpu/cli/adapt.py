@@ -189,6 +189,11 @@ def main(argv=None):
     parser.add_argument("--no_warm_ahead", action="store_true",
                         help="disable background compilation of the mouth/"
                              "fuse executables during the face stage")
+    parser.add_argument("--no_lpips", action="store_true",
+                        help="drop the perceptual-loss phases (face "
+                             "lpips_start..densify_until, fuse second half) "
+                             "— for A/Bs bounding the random-feature "
+                             "fallback (scripts/exp_lpips_fallback.py)")
     mc, _, oc, args = parse_all(parser, argv)
     t0 = time.time()
 
@@ -232,6 +237,7 @@ def main(argv=None):
     mc.type = "face"
     face_res = train_face(mc, oc, pretrain_bundle=load_pre("face"),
                           long=args.long, seed=args.seed,
+                          lpips_enabled=not args.no_lpips,
                           data_parallel=args.data_parallel, dp_mesh=dp_mesh)
     face_bundle = dict(state=face_res["state"],
                        umf_params=face_res["umf_params"],
@@ -280,6 +286,7 @@ def main(argv=None):
                         umf_params=mouth_res["umf_params"],
                         pmf_params=mouth_res["pmf_params"])
     fuse_res = train_fuse(mc, ocf, face_bundle, mouth_bundle, seed=args.seed,
+                          lpips_enabled=not args.no_lpips,
                           data_parallel=args.data_parallel, dp_mesh=dp_mesh)
     fuse_bundle = dict(
         face_state=fuse_res["face_state"],

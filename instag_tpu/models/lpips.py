@@ -92,6 +92,10 @@ def load_lpips_params(rng_seed: int = 0):
     """
     model = LPIPS()
     dummy = jnp.zeros((1, 3, 64, 64))
+    # INSTAG_LPIPS_RF_SEED varies the random-feature fallback's init for
+    # seed-sensitivity A/Bs (scripts/exp_lpips_fallback.py); ignored when
+    # real converted weights are found below.
+    rng_seed = int(os.environ.get("INSTAG_LPIPS_RF_SEED", rng_seed))
     # jit: eager init dispatches ~200 tiny ops (each a compile-RPC round
     # trip on a tunneled device); one compiled program instead
     params = jax.jit(model.init)(jax.random.key(rng_seed), dummy, dummy)

@@ -57,6 +57,11 @@ def make_fuse_block(cfg: RasterizeConfig, opt_cfg, face_net, mouth_net,
     the mean gradient (see make_face_block). ``mesh`` shards the gathered
     rows over the 'dp' axis."""
     row_sharding = None
+    if dp > 1:
+        # vmapped lax.cond runs BOTH scatter branches; pick the full
+        # scatter statically for the DP path (rasterize.scatter_mode)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, scatter_mode="full")
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         row_sharding = NamedSharding(mesh, PartitionSpec("dp"))

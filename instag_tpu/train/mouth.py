@@ -63,6 +63,11 @@ def make_mouth_block(cfg: RasterizeConfig, opt_cfg, mouth_net, pmf_net,
     (the vmap-over-1 penalty, BASELINE.md r3)."""
     h, w = cfg.image_height, cfg.image_width
     row_sharding = None
+    if dp > 1:
+        # vmapped lax.cond runs BOTH scatter branches; pick the full
+        # scatter statically for the DP path (rasterize.scatter_mode)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, scatter_mode="full")
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
         row_sharding = NamedSharding(mesh, PartitionSpec("dp"))

@@ -140,6 +140,45 @@ def main():
     ms = timed(raster_grad_fn, xyz, reps=args.reps)
     print(f"raster fwd+bwd        {ms:7.3f} ms")
 
+    # ---- backward decomposition (round-4: where the fwd+bwd ms go) ----
+    def proj_grad_fn(x):
+        return jax.grad(lambda xx: jnp.sum(proj_fn(xx)))(x)
+
+    ms = timed(proj_grad_fn, xyz, reps=args.reps)
+    print(f"projection fwd+bwd    {ms:7.3f} ms")
+
+    def sh_fn(x):
+        return jnp.sum(R.sh_colors(x, cam.camera_center, shs, 1))
+
+    ms = timed(lambda x: jax.grad(sh_fn)(x), xyz, reps=args.reps)
+    print(f"sh_colors fwd+bwd     {ms:7.3f} ms")
+
+    gcot = jnp.ones((feats.shape[0],) + tuple(ids.shape), jnp.float32)
+
+    def scatter_vjp_fn(f, gc):
+        # gc is a varying arg: a constant cotangent would make the whole
+        # backward loop-invariant and XLA would hoist it out of the scan
+        _, vjp = jax.vjp(lambda ff: R._tile_gather(ff, ids, valid), f)
+        return vjp(gc)[0]
+
+    ms = timed(scatter_vjp_fn, feats, gcot, reps=args.reps)
+    print(f"tile_gather VJP       {ms:7.3f} ms  (shipping staircase)")
+
+    def comp_grad_all_fn(px):
+        # grads to every composite input (what the training step pays),
+        # not just px
+        def lose(px, py, op, cols):
+            p = proj._replace(px=px, py=py)
+            out = R._composite_tiles(cfg, p.px, p.py, p, op, cols,
+                                     jnp.ones_like(p.px), ids, valid, green)
+            return jnp.mean(out.image ** 2)
+        gs = jax.grad(lose, argnums=(0, 1, 2, 3))(
+            px, proj.py, opac.reshape(-1), shs[:, 0])
+        return sum(jnp.sum(g) for g in gs)
+
+    ms = timed(comp_grad_all_fn, proj.px, reps=args.reps)
+    print(f"composite fwd+bwd(all){ms:7.3f} ms  (select reused)")
+
     # motion networks at adaptation scale
     nets = synthetic_motion_params(onehot=True)
     face_net, face_pmf = nets["face_net"], nets["face_pmf_net"]

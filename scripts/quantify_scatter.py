@@ -209,11 +209,19 @@ def main():
     from instag_tpu.ops.rasterize import _tile_gather
     feats0 = jnp.asarray(rng.normal(size=(F, N)).astype(np.float32))
 
-    def staircase_vjp(g, ids):
-        _, vjp = jax.vjp(lambda f: _tile_gather(f, ids, valid_dev), feats0)
-        return vjp(g)[0]
+    def mode_vjp(mode):
+        def fn(g, ids):
+            _, vjp = jax.vjp(
+                lambda f: _tile_gather(f, ids, valid_dev, mode), feats0)
+            return vjp(g)[0]
+        return fn
 
-    run_v("staircase", staircase_vjp)
+    run_v("staircase", mode_vjp("cond"))
+
+    # Pallas VMEM-resident accumulator (ops/pallas_scatter.py): walks only
+    # the first cnt[t] valid slots per tile, scalar-driven VMEM RMWs
+    if jax.default_backend() == "tpu":
+        run_v("pallas", mode_vjp("pallas"))
 
 
 if __name__ == "__main__":
