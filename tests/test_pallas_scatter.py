@@ -52,7 +52,7 @@ def test_scatter_empty_and_full_tiles():
                                rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("mode", ["full", "pallas"])
+@pytest.mark.parametrize("mode", ["full", "pallas", "auto"])
 def test_tile_gather_modes_match_cond(mode):
     """All static scatter_mode variants produce the same VJP as the shipping
     cond path (which is itself finite-difference tested via the rasterizer
