@@ -62,20 +62,27 @@ def _scatter_kernel(cnt_ref, ids_ref, g_ref, acc_ref, *, kk: int):
 
     def tile_body(i, _):
         cnt = cnt_ref[step, i]
+        nwin = (cnt + _L - 1) // _L
 
-        def el_body(j, _):
-            flat = i * kk + j
-            row_g = flat // _L
-            gw = g_ref[row_g]                                  # [F, 128]
-            src = (iota == flat % _L).astype(gw.dtype)
-            col = jnp.sum(gw * src, axis=1, keepdims=True)     # [F, 1]
-            idx = ids_ref[i, j]
-            row_a = idx // _L
-            dst = (iota == idx % _L).astype(gw.dtype)
-            acc_ref[row_a] += col * dst
+        def win_body(w, _):
+            # one [F, 128] register-resident load covers 128 elements
+            gw = g_ref[(i * kk) // _L + w]
+            lim = jnp.minimum(cnt - w * _L, _L)
+
+            def el_body(j, _):
+                idx = ids_ref[i, w * _L + j]
+                lane = idx % _L
+                # rotate column j onto lane (idx % 128), mask every other
+                # lane: ONE dynamic rotate replaces the mask-reduce extract
+                # + outer-product broadcast (both are full-[F,128] passes)
+                moved = pltpu.roll(gw, (lane - j) % _L, 1)
+                acc_ref[idx // _L] += jnp.where(iota == lane, moved, 0.0)
+                return 0
+
+            jax.lax.fori_loop(0, lim, el_body, 0)
             return 0
 
-        jax.lax.fori_loop(0, cnt, el_body, 0)
+        jax.lax.fori_loop(0, nwin, win_body, 0)
         return 0
 
     jax.lax.fori_loop(0, _TS, tile_body, 0)
@@ -98,7 +105,7 @@ def scatter_add_tiles(g: jnp.ndarray, ids: jnp.ndarray, cnt: jnp.ndarray,
     """
     F, T, K = g.shape
     n_pad = _round_up(n, _L)
-    Kp = _round_up(K, _L // _TS)     # (Kp * _TS) % 128 == 0
+    Kp = _round_up(K, _L)            # window-hoisted loads need K % 128 == 0
     Tp = _round_up(max(T, _TS), _TS)
     if Tp > T or Kp > K:
         g = jnp.pad(g, ((0, 0), (0, Tp - T), (0, Kp - K)))
