@@ -18,14 +18,24 @@ import numpy as np
 def generate_scene(path: str, n_frames: int = 20, size: int = 128,
                    audio_extractor: str = "deepspeech", seed: int = 0,
                    n_val: int = 4, variation: float = 0.0,
-                   focal_mult: float = 2.0) -> None:
+                   focal_mult: float = 2.0, motion_dims: int = 1) -> None:
     """``variation`` > 0 makes identities genuinely different (appearance,
     geometry, talking cadence) while the audio features stay causally tied
     to the mouth motion — required for an honest Universal-Motion-Field
     transfer experiment (scripts/exp_umf_transfer.py): a pretrained UMF
     must generalize across head shape/color AND across each identity's
     random audio-feature projection, not just memorize one blob. The
-    default 0.0 reproduces the historical fixture scenes bit-for-bit."""
+    default 0.0 reproduces the historical fixture scenes bit-for-bit.
+
+    ``motion_dims`` (1-3) sets the dimensionality of the audio->motion
+    manifold. At 1 (default, historical) a single openness signal drives
+    mouth height only — a 3-s clip already covers that manifold, so a
+    pre-trained motion prior has nothing to transfer at short budgets
+    (BASELINE.md round-4 flagship table, 75-frame row). At 3, independent
+    non-periodic signals drive mouth height, width, and horizontal shift,
+    all mixed into the SHARED audio basis — a product space a few-shot
+    clip undersamples, which is the regime real speech lives in
+    (reference pretrain_face.py's premise)."""
     os.makedirs(path, exist_ok=True)
     for sub in ["gt_imgs", "torso_imgs", "parsing", "teeth_mask", "ori_imgs"]:
         os.makedirs(os.path.join(path, sub), exist_ok=True)
@@ -77,6 +87,26 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
     bob = (3.0 * (1 + v * float(vrng.uniform(-0.5, 0.5))),
            2.0 * (1 + v * float(vrng.uniform(-0.5, 0.5))))
 
+    # extra motion dimensions (drawn AFTER every historical vrng draw so
+    # motion_dims=1 leaves the identity parameters bit-identical)
+    def _extra_signal():
+        p1 = 7.0 + float(vrng.uniform(-2.0, 5.0))
+        p2 = p1 * 1.6180339887
+        ph1, ph2 = (float(vrng.uniform(0, 2 * np.pi)) for _ in range(2))
+
+        def sig(tt):
+            tt = np.asarray(tt, np.float64)
+            return (0.6 * np.sin(2 * np.pi * tt / p1 + ph1)
+                    + 0.4 * np.sin(2 * np.pi * tt / p2 + ph2))
+        return sig
+
+    extra_sigs = [_extra_signal() for _ in range(max(motion_dims - 1, 0))]
+
+    def motion(tt):
+        """[D] motion coordinates at time tt: m0 = openness (historical),
+        m1 = mouth-width modulation, m2 = mouth horizontal shift."""
+        return [openness(tt)] + [s(tt) for s in extra_sigs]
+
     # background
     bc = np.full((h, w, 3), (40, 80, 120), np.uint8)
     Image.fromarray(bc).save(os.path.join(path, "bc.jpg"))
@@ -86,16 +116,20 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
 
     frames_meta = []
     for i in range(total):
-        phase = float(openness(i))
+        m = [float(x) for x in motion(i)]
+        phase = m[0]
         cx = w / 2 + bob[0] * np.cos(i / 5.0)
         cy = h / 2 + bob[1] * np.sin(i / 7.0)
         r_head = size * r_fac
 
         d = np.sqrt((xx - cx) ** 2 + (yy - cy) ** 2)
         head = d < r_head
-        # mouth: small ellipse below center whose height follows "audio"
+        # mouth: small ellipse below center; height follows "audio" dim 0,
+        # width dim 1, horizontal shift dim 2 (when motion_dims > 1)
         mh = size * mouth_amp * (1.2 + phase)
-        mouth = (((xx - cx) / (size * mouth_w)) ** 2 +
+        mw_i = size * mouth_w * (1.0 + (0.3 * m[1] if len(m) > 1 else 0.0))
+        mcx = cx + (size * 0.035 * m[2] if len(m) > 2 else 0.0)
+        mouth = (((xx - mcx) / max(mw_i, 1e-3)) ** 2 +
                  ((yy - (cy + r_head * mouth_pos)) / max(mh, 1e-3)) ** 2) < 1.0
         hair = (d < r_head * 1.15) & (yy < cy - r_head * 0.5)
 
@@ -146,10 +180,10 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
             lms[36 + 6 * k: 42 + 6 * k, 1] = cy - r_head * .2 + 3 * np.sin(a2)
         mouth_cy = cy + r_head * mouth_pos
         a3 = np.linspace(0, 2 * np.pi, 12, endpoint=False)
-        lms[48:60, 0] = cx + size * (mouth_w + 0.01) * np.cos(a3)
+        lms[48:60, 0] = mcx + (mw_i + size * 0.01) * np.cos(a3)
         lms[48:60, 1] = mouth_cy + (mh + 2) * np.sin(a3)
         a4 = np.linspace(0, 2 * np.pi, 8, endpoint=False)
-        lms[60:68, 0] = cx + size * (mouth_w - 0.02) * np.cos(a4)
+        lms[60:68, 0] = mcx + (mw_i - size * 0.02) * np.cos(a4)
         lms[60:68, 1] = mouth_cy + mh * np.sin(a4)
         np.savetxt(os.path.join(path, "ori_imgs", f"{i}.lms"), lms, "%.2f")
 
@@ -193,6 +227,14 @@ def generate_scene(path: str, n_frames: int = 20, size: int = 128,
     proj = arng.normal(size=(1, 16, d)).astype(np.float32)
     aud = (base[:, None, None] * proj
            + 0.05 * rng.normal(size=(total, 16, d)).astype(np.float32))
+    if motion_dims > 1:
+        # every motion dimension rides the SHARED audio basis (one
+        # extractor in the real world): aud = sum_d m_d(t) * proj_d + noise
+        mrng = np.random.default_rng(424243)
+        sigs = np.stack([np.asarray(s(t), np.float32) for s in extra_sigs])
+        projs = mrng.normal(size=(len(extra_sigs), 1, 16, d)).astype(
+            np.float32)
+        aud = aud + np.sum(sigs[:, :, None, None] * projs, axis=0)
     postfix = {"deepspeech": "_ds", "esperanto": "_eo", "hubert": "_hu",
                "ave": "_ave"}[audio_extractor]
     np.save(os.path.join(path, f"aud{postfix}.npy"), aud)

@@ -55,6 +55,10 @@ def main():
     ap.add_argument("--skip_pretrain", action="store_true",
                     help="reuse an existing pretrain output dir")
     ap.add_argument("--fresh_scenes", action="store_true")
+    ap.add_argument("--motion_dims", type=int, default=1,
+                    help="audio->motion manifold dimensionality (1-3); >1 "
+                         "makes short few-shot clips undersample the "
+                         "motion space (data/synthetic.py)")
     args = ap.parse_args()
 
     data_dir = os.path.join(args.root, "data")
@@ -77,12 +81,14 @@ def main():
         generate_scene(d, n_frames=n_frames, size=args.size,
                        n_val=args.n_val, seed=(args.seed + k if name != held
                                                else args.seed + 777),
-                       variation=1.0, focal_mult=8.0)
+                       variation=1.0, focal_mult=8.0,
+                       motion_dims=args.motion_dims)
         print(f"# scene {name} generated ({time.time()-t:.0f}s)",
               file=sys.stderr, flush=True)
 
     summary = {"metric": "umf_transfer_psnr_delta_db", "unit": "dB",
                "n_ids": args.n_ids, "size": args.size,
+               "motion_dims": args.motion_dims,
                "pretrain_iters_per_branch_per_id": args.iterations,
                "reference_budget": 30000}
 

@@ -128,3 +128,36 @@ def test_frame_projection_sees_head(scene_dir):
     px = ((ndc[0] + 1) * r.width - 1) * 0.5
     py = ((ndc[1] + 1) * r.height - 1) * 0.5
     assert 20 < px < 44 and 20 < py < 44  # near image center
+
+
+def test_motion_dims_default_bit_identical(tmp_path):
+    """motion_dims=1 (default) must reproduce the historical scenes exactly
+    (fixtures + recorded experiments depend on it); motion_dims=3 must stay
+    a valid dataset whose audio track carries the extra signals."""
+    import hashlib
+
+    def digest(d):
+        h = hashlib.sha256()
+        for root, _, files in sorted(os.walk(d)):
+            for f in sorted(files):
+                h.update(f.encode())
+                h.update(open(os.path.join(root, f), "rb").read())
+        return h.hexdigest()
+
+    a, b, c = (tmp_path / n for n in ("a", "b", "c"))
+    generate_scene(str(a), n_frames=5, size=64, n_val=2, variation=1.0,
+                   seed=3)
+    generate_scene(str(b), n_frames=5, size=64, n_val=2, variation=1.0,
+                   seed=3, motion_dims=1)
+    assert digest(a) == digest(b)
+
+    generate_scene(str(c), n_frames=5, size=64, n_val=2, variation=1.0,
+                   seed=3, motion_dims=3)
+    assert digest(c) != digest(a)
+    aud_a = np.load(a / "aud_ds.npy")
+    aud_c = np.load(c / "aud_ds.npy")
+    assert aud_a.shape == aud_c.shape
+    assert not np.allclose(aud_a, aud_c)
+    from instag_tpu.data.dataset import load_frames
+    recs = load_frames(str(c), "train", "deepspeech", -1)
+    assert len(recs) == 5
