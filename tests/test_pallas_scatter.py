@@ -78,3 +78,22 @@ def test_tile_gather_modes_match_cond(mode):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(grad_m), np.asarray(grad_c),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_scatter_vmap_interpret():
+    """The kernel batches under vmap (Pallas adds a leading grid dim) — the
+    precondition for serving the --data_parallel path on TPU."""
+    rng = np.random.default_rng(4)
+    B, F, T, K, n = 3, 4, 8, 128, 256
+    g = jnp.asarray(rng.normal(size=(B, F, T, K)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n, size=(B, T, K)).astype(np.int32))
+    cnt = jnp.asarray(rng.integers(0, K + 1, size=(B, T)).astype(np.int32))
+
+    out = jax.vmap(
+        lambda gg, ii, cc: scatter_add_tiles(gg, ii, cc, n, True))(g, ids, cnt)
+    ref = np.zeros((B, F, n), np.float32)
+    for b in range(B):
+        for t in range(T):
+            for j in range(int(cnt[b, t])):
+                ref[b, :, ids[b, t, j]] += np.asarray(g)[b, :, t, j]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6, atol=1e-6)
