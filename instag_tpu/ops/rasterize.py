@@ -727,8 +727,10 @@ def _tile_gather_bwd(mode, res, g):
 
     if mode == "auto":
         # pallas needs the [N/128, F, 128] f32 accumulator + one
-        # [TS*K/128, F, 128] grad block resident in VMEM (~16 MB on v5e)
-        fits = (-(-N // 128) * 128 * max(F, 8) * 4) <= 6 * 2**20
+        # [TS*K/128, F, 128] grad block resident in VMEM (~16 MB on v5e);
+        # Mosaic pads the sublane dim (F) to a multiple of 8
+        f_sub = -(-F // 8) * 8
+        fits = (-(-N // 128) * 128 * f_sub * 4) <= 6 * 2**20
         mode = ("pallas" if fits and jax.default_backend() == "tpu"
                 else "cond")
 
