@@ -52,10 +52,14 @@ def init_multihost(coordinator: str | None = None,
     process_id = process_id if process_id is not None else (
         int(os.environ["JAX_PROCESS_ID"])
         if "JAX_PROCESS_ID" in os.environ else None)
+    # `jax.process_count()` initializes the XLA backend, after which
+    # `jax.distributed.initialize` refuses to run — so the already-connected
+    # check must go through the distributed service, never the backend
+    # (caught by the real 2-process run in tests/test_multihost_real.py).
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     if coordinator is None and num_processes is None:
         return jax.process_count() > 1
-    if jax.process_count() > 1:  # already initialized
-        return True
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)

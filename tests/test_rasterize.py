@@ -51,6 +51,24 @@ def test_matches_bruteforce_oracle(sh_deg):
     np.testing.assert_allclose(np.asarray(out.normal), nrm_ref, atol=5e-3)
 
 
+def test_oracle_bbox_sigma_is_exact():
+    """The bbox-accelerated oracle sweep (scripts/parity_fullframe.py)
+    must reproduce the full-frame sweep bit-for-bit: a 4-sigma pixel box
+    only excludes pixels the alpha < 1/255 floor already skips."""
+    H = W = 64
+    cfg = RasterizeConfig(H, W, max_per_tile=160, tile_chunk=8,
+                          approx_topk=False)
+    view, full, campos, tanfov = make_camera(H, W)
+    means, opac, scales, rots, shs = make_scene(n=120, sh_deg=1)
+    bg = jnp.array([0.1, 0.2, 0.3], jnp.float32)
+    args = (cfg, means, opac, scales, rots, view, full, campos, tanfov,
+            tanfov, bg)
+    full_sweep = splat_reference(*args, shs=shs, sh_degree=1)
+    boxed = splat_reference(*args, shs=shs, sh_degree=1, bbox_sigma=4.0)
+    for a, b in zip(full_sweep, boxed):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_colors_precomp_path():
     H = W = 32
     cfg = RasterizeConfig(H, W, max_per_tile=64, tile_chunk=4, approx_topk=False)
