@@ -217,6 +217,45 @@ def main():
         ms=round(1000 * dt / (n_disp * DISPATCH_CHUNK), 2),
         fps=round(fps_disp, 2), chunk=DISPATCH_CHUNK)
 
+    # opt-in serving mode: the PRODUCTION chunked synthesis program
+    # (make_synthesis_chunk_fn — per-frame cameras from batch arrays) with
+    # temporal selection reuse (--select_every 4): tile membership is
+    # recomputed on the first frame of each dispatch and reused for the
+    # next 3 (worst-frame 55 dB under drifting head pose — BASELINE.md
+    # "selection temporal reuse"; scripts/quantify_select_reuse.py)
+    from instag_tpu.config import ModelConfig
+    from instag_tpu.synthesize import make_synthesis_chunk_fn
+
+    mc_b = ModelConfig(audio_extractor="deepspeech")
+    sbatch = synthetic_frame_batch(size, n_frames=DISPATCH_CHUNK)
+    s4 = make_synthesis_chunk_fn(cfg, mc_b, personalized=True,
+                                 select_every=DISPATCH_CHUNK)
+    ivec = jnp.arange(DISPATCH_CHUNK, dtype=jnp.int32)
+    csum = jax.jit(lambda o: jnp.sum(o[:, ::64, ::64, :],
+                                     dtype=jnp.float32))
+    s4_args = (face_state, mouth_state, nets["face_umf_params"],
+               nets["mouth_umf_params"], nets["face_pmf_params"],
+               nets["mouth_pmf_params"])
+    chk4 = csum(s4(*s4_args, sbatch, ivec))
+    _fetch(chk4)                                               # warm
+    best = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        chk4 = jnp.float32(0)
+        for _ in range(n_disp):
+            b2 = sbatch.replace(auds=sbatch.auds + chk4 * 1e-30)
+            chk4 = csum(s4(*s4_args, b2, ivec))
+        _fetch(chk4)
+        best = min(best, time.time() - t0 - _RPC_MS / 1e3)
+    fps_s4 = n_disp * DISPATCH_CHUNK / best
+    print(f"# synthesis (serving mode, --select_every {DISPATCH_CHUNK}): "
+          f"{fps_s4:.2f} FPS "
+          f"({1000*best/(n_disp*DISPATCH_CHUNK):.2f} ms/frame)",
+          file=sys.stderr)
+    mfu_stats["synthesis_select4"] = dict(
+        ms=round(1000 * best / (n_disp * DISPATCH_CHUNK), 2),
+        fps=round(fps_s4, 2), select_every=DISPATCH_CHUNK)
+
     # sub-benchmark: rasterizer fwd+bwd ms/frame (training-path cost)
     def raster_grad(params):
         st = face_state.replace(params=params)

@@ -20,6 +20,13 @@ def main(argv=None):
     parser.add_argument("--dilate", action="store_true")
     parser.add_argument("--personalized", action="store_true")
     parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--select_every", type=int, default=1,
+                        help="recompute per-tile splat selection only every "
+                             "k-th frame, reusing tile membership in "
+                             "between (serving optimization; 1 = "
+                             "reference-exact per-frame selection; must "
+                             "divide the dispatch chunk of 4). Quality "
+                             "bound in BASELINE.md 'selection reuse'.")
     parser.add_argument("--mux_audio", action="store_true",
                         help="attach the tail-aligned dataset aud.wav to "
                              "the output (reference "
@@ -49,7 +56,8 @@ def main(argv=None):
                             dump_plys=0 if args.fast else 11,
                             ply_dir=os.path.join(mc.model_path,
                                                  "deformed_ply"),
-                            fast=args.fast)
+                            fast=args.fast,
+                            select_every=args.select_every)
     print(f"wrote {out}: {video.shape[0]} frames @ {fps:.1f} FPS synthesis")
 
     if args.mux_audio:

@@ -92,7 +92,12 @@ def add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix="") -> None:
                 parser.add_argument(name, action="store_true",
                                     default=f.default)
         else:
-            parser.add_argument(name, type=type(f.default), default=f.default)
+            # reference CLI shorthands (arguments/__init__.py ParamGroup
+            # shorthand=True: `-s` source_path, `-m` model_path)
+            alias = {"source_path": ["-s"], "model_path": ["-m"]}.get(
+                f"{prefix}{f.name}", [])
+            parser.add_argument(name, *alias, type=type(f.default),
+                                default=f.default)
 
 
 def extract_dataclass(args: argparse.Namespace, cls, prefix=""):

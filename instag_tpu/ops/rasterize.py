@@ -468,21 +468,35 @@ class Prepared(NamedTuple):
 
 def prepare(cfg: RasterizeConfig, means3d, scales, rotations, viewmatrix,
             projmatrix, campos, tanfovx, tanfovy,
-            means2d_offset=None, active=None) -> Prepared:
-    """Projection + tile selection only (no compositing)."""
+            means2d_offset=None, active=None, selection=None) -> Prepared:
+    """Projection + tile selection only (no compositing).
+
+    ``selection``: optional ``(ids, valid)`` from a previous frame's
+    ``Prepared`` — the per-tile [T, N] top-K sweep is skipped and the
+    stale lists reused against the CURRENT projection (alpha/color/depth
+    all per-frame exact; only WHICH splats each tile composites, and
+    their front-to-back order, is frames-old). This is the temporal
+    coherence of talking-head synthesis: the head moves millimetres
+    between 40 ms frames, so tile membership barely changes. Callers
+    compositing a reused selection must mask now-invisible splats
+    (``composite_prepared(mask_invisible=True)``) since the stale lists
+    may reference splats the current frustum culls.
+    """
     proj = project_gaussians(cfg, means3d, scales, rotations, viewmatrix,
                              projmatrix, campos, tanfovx, tanfovy, active)
     px, py = proj.px, proj.py
     if means2d_offset is not None:
         px = px + means2d_offset[:, 0]
         py = py + means2d_offset[:, 1]
-    ids, valid = _tile_select(cfg, proj)
+    ids, valid = selection if selection is not None else _tile_select(cfg,
+                                                                      proj)
     return Prepared(proj, px, py, ids, valid)
 
 
 def composite_prepared(cfg: RasterizeConfig, prep: Prepared, opacities,
                        colors, bg, extra_attrs=None,
-                       light: bool = False, aux_colors=None):
+                       light: bool = False, aux_colors=None,
+                       mask_invisible: bool = False):
     """Composite given an existing Prepared (selection is reused; pass a
     stop_gradient'd Prepared for detached-geometry side renders).
 
@@ -494,8 +508,16 @@ def composite_prepared(cfg: RasterizeConfig, prep: Prepared, opacities,
     *stop-gradient* weights in the same pass, returned as a second value
     [A, H, W]. This is exactly the reference's detached-geometry attention
     render (gaussian_renderer/__init__.py:258-283) fused into the main
-    composite: same per-tile weights, gradients flow only to the channels."""
+    composite: same per-tile weights, gradients flow only to the channels.
+
+    ``mask_invisible``: zero the opacity of frustum-culled splats before
+    compositing — required when ``prep`` carries a REUSED selection
+    (``prepare(selection=...)``), whose stale per-tile lists may reference
+    splats the current projection culls; a fresh selection only ever picks
+    visible splats, so the default path needs (and pays) nothing."""
     opac = opacities.reshape(-1)
+    if mask_invisible:
+        opac = jnp.where(prep.proj.visible, opac, 0.0)
     if extra_attrs is None:
         extra_attrs = jnp.ones_like(opac)
     else:

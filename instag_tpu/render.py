@@ -83,6 +83,10 @@ class MotionRender(NamedTuple):
     p_motion: dict[str, Any] | None
     attn: jnp.ndarray | None       # [3, H, W] UMF attention map
     p_attn: jnp.ndarray | None     # [3, H, W] PMF attention map
+    # (ids [T,K], valid [T,K]) actually composited — pass as the next
+    # frame's `selection` to reuse tile membership (synthesis temporal
+    # coherence; see ops.rasterize.prepare)
+    selection: tuple = ()
 
 
 def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
@@ -91,7 +95,8 @@ def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
                   pmf: Callable[..., dict] | None = None,
                   personalized: bool = False, align: bool = False,
                   detach_motion: bool = False, return_attn: bool = False,
-                  means2d_offset: jnp.ndarray | None = None) -> MotionRender:
+                  means2d_offset: jnp.ndarray | None = None,
+                  selection: tuple | None = None) -> MotionRender:
     """Face-branch motion render — reference ``render_motion`` (:151-298).
 
     ``umf(x, aud, exp)`` and ``pmf(x, aud, exp)`` are closures over their
@@ -100,6 +105,9 @@ def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
     ``align`` may be a Python bool (structural) or a traced 0/1 scalar — the
     latter lets one compiled step cover the reference's align-after-iter-1000
     warmup toggle (train_face.py:345-350) without recompilation.
+
+    ``selection``: a previous frame's ``MotionRender.selection`` to reuse
+    (skips the per-tile top-K sweep; synthesis-only temporal coherence).
     """
     xyz0 = state.params.xyz
     xyz = xyz0
@@ -141,7 +149,8 @@ def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
     prep = prepare(cfg, means3d, scales, rotations, cam.view_transform,
                    cam.full_proj_transform, cam.camera_center, cam.tanfovx,
                    cam.tanfovy, means2d_offset=means2d_offset,
-                   active=state.alive)
+                   active=state.alive, selection=selection)
+    reused = selection is not None
     colors = sh_colors(means3d, cam.camera_center, _masked_features(state),
                        state.max_sh_degree)
 
@@ -156,15 +165,18 @@ def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
             aux += [p_preds["ambient_aud"], p_preds["ambient_eye"]]
         out, aux_img = composite_prepared(
             cfg, prep, opacity, colors, bg,
-            aux_colors=jnp.concatenate(aux, axis=-1))
+            aux_colors=jnp.concatenate(aux, axis=-1),
+            mask_invisible=reused)
         zero = jnp.zeros_like(aux_img[0])
         attn = jnp.stack([aux_img[0], aux_img[1], zero])
         if personalized:
             p_attn = jnp.stack([aux_img[2], aux_img[3], zero])
     else:
-        out = composite_prepared(cfg, prep, opacity, colors, bg)
+        out = composite_prepared(cfg, prep, opacity, colors, bg,
+                                 mask_invisible=reused)
 
-    return MotionRender(out, preds, p_preds, attn, p_attn)
+    return MotionRender(out, preds, p_preds, attn, p_attn,
+                        (prep.ids, prep.valid))
 
 
 def render_motion_mouth(cfg: RasterizeConfig, cam: Camera,
@@ -176,8 +188,8 @@ def render_motion_mouth(cfg: RasterizeConfig, cam: Camera,
                         personalized: bool = False, align: bool = False,
                         k=10, k_max: int = 50,
                         face_motion_cache: dict | None = None,
-                        means2d_offset: jnp.ndarray | None = None
-                        ) -> MotionRender:
+                        means2d_offset: jnp.ndarray | None = None,
+                        selection: tuple | None = None) -> MotionRender:
     """Mouth-branch render conditioned on the face UMF's motion range —
     reference ``render_motion_mouth_con`` (:302-435).
 
@@ -237,13 +249,26 @@ def render_motion_mouth(cfg: RasterizeConfig, cam: Camera,
     scales = state.get_scaling()
     rotations = state.get_rotation()
 
-    out = rasterize(
-        cfg, means3d, opacity, scales, rotations, cam.view_transform,
-        cam.full_proj_transform, cam.camera_center, cam.tanfovx, cam.tanfovy,
-        bg, shs=_masked_features(state), sh_degree=state.max_sh_degree,
-        means2d_offset=means2d_offset, active=state.alive)
+    if selection is None and means2d_offset is not None:
+        # training path unchanged: one rasterize() call
+        out = rasterize(
+            cfg, means3d, opacity, scales, rotations, cam.view_transform,
+            cam.full_proj_transform, cam.camera_center, cam.tanfovx,
+            cam.tanfovy, bg, shs=_masked_features(state),
+            sh_degree=state.max_sh_degree, means2d_offset=means2d_offset,
+            active=state.alive)
+        return MotionRender(out, preds, p_preds, None, None)
 
-    return MotionRender(out, preds, p_preds, None, None)
+    prep = prepare(cfg, means3d, scales, rotations, cam.view_transform,
+                   cam.full_proj_transform, cam.camera_center, cam.tanfovx,
+                   cam.tanfovy, means2d_offset=means2d_offset,
+                   active=state.alive, selection=selection)
+    colors = sh_colors(means3d, cam.camera_center, _masked_features(state),
+                       state.max_sh_degree)
+    out = composite_prepared(cfg, prep, opacity, colors, bg,
+                             mask_invisible=selection is not None)
+    return MotionRender(out, preds, p_preds, None, None,
+                        (prep.ids, prep.valid))
 
 
 def composite_fuse(face_img, face_alpha, mouth_img, mouth_alpha, bg_color,

@@ -36,7 +36,7 @@ GREEN = jnp.array([0.0, 1.0, 0.0], jnp.float32)
 
 def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
                       dilate: bool = False, personalized: bool = False,
-                      variants: bool = False):
+                      variants: bool = False, _return_one: bool = False):
     """Build the jitted per-frame synthesis step.
 
     Returns fn(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
@@ -60,20 +60,26 @@ def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
                                               model_cfg.audio_extractor,
                                               onehot=False)
 
-    @jax.jit
-    def synth(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
-              mouth_pmf, batch: FrameBatch, i):
+    def synth_one(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
+                  mouth_pmf, batch: FrameBatch, i, sels=None):
+        """One frame; returns (uint8 image(s), (face_sel, mouth_sel)).
+
+        ``sels``: the previous frame's returned selections — the per-tile
+        top-K sweeps are skipped and that frame's tile membership reused
+        (ops.rasterize.prepare selection reuse; the --select_every serving
+        knob). None recomputes selection (reference-exact)."""
         cam = batch.camera(i)
         aud = batch.auds[i]
         exp = batch.au_exp[i]
         torso_bg = batch.bg_image(i)
+        face_sel, mouth_sel = sels if sels is not None else (None, None)
 
         fr = render_motion(
             cfg, cam, face_state,
             umf=lambda x, a, e: face_net.apply(face_umf, x, a, e),
             aud=aud, exp=exp, bg=GREEN,
             pmf=lambda x, a, e: face_pmf_net.apply(face_pmf, x, a, e),
-            personalized=personalized, align=True)
+            personalized=personalized, align=True, selection=face_sel)
         # inference reuses the face branch's motion prediction as the cache
         # (synthesize_fuse.py:55-56, gaussian_renderer/__init__.py:362-364);
         # the cached prediction was computed with the real expression, which
@@ -85,7 +91,7 @@ def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
             face_umf=None, aud=aud, bg=GREEN,
             pmf=lambda x, a: mouth_pmf_net.apply(mouth_pmf, x, a),
             personalized=personalized, align=True,
-            face_motion_cache=fr.motion)
+            face_motion_cache=fr.motion, selection=mouth_sel)
 
         alpha_m = mr.out.alpha
         dil = dilate_alpha(alpha_m, 13) if dilate else alpha_m
@@ -98,10 +104,20 @@ def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
                     ).astype(jnp.uint8).transpose(1, 2, 0)
 
         if variants:
-            return jnp.stack([to_u8(image), to_u8(fr.out.image),
-                              to_u8(mr.out.image)])
-        return to_u8(image)
+            img = jnp.stack([to_u8(image), to_u8(fr.out.image),
+                             to_u8(mr.out.image)])
+        else:
+            img = to_u8(image)
+        return img, (fr.selection, mr.selection)
 
+    @jax.jit
+    def synth(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
+              mouth_pmf, batch: FrameBatch, i):
+        return synth_one(face_state, mouth_state, face_umf, mouth_umf,
+                         face_pmf, mouth_pmf, batch, i)[0]
+
+    if _return_one:
+        return synth, synth_one
     return synth
 
 
@@ -112,7 +128,8 @@ def make_synthesis_chunk_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
                             dilate: bool = False,
                             personalized: bool = False,
                             variants: bool = False,
-                            chunk: int = DISPATCH_CHUNK):
+                            chunk: int = DISPATCH_CHUNK,
+                            select_every: int = 1):
     """Chunked dispatch variant of :func:`make_synthesis_fn`:
     fn(..., ivec [chunk]) renders ``chunk`` frames in ONE dispatch via an
     in-jit lax.scan and returns them stacked uint8 [chunk, ...].
@@ -122,16 +139,37 @@ def make_synthesis_chunk_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
     scanning 4 frames per dispatch quarters it for +3 frames (~16 ms) of
     latency — immaterial for clip synthesis and well inside a live 40 ms
     frame budget.
+
+    ``select_every`` > 1 recomputes the per-tile splat selection only on
+    every k-th frame and reuses it in between (projection, colors, alpha
+    and compositing stay per-frame exact — only tile membership / order is
+    up to k-1 frames stale; quality quantified in BASELINE.md, selection
+    reuse). The scan runs over GROUPS of k frames with the reuse unrolled
+    statically inside the body — no lax.cond, one executable. k must
+    divide the dispatch chunk (both default small powers of two).
     """
-    synth = make_synthesis_fn(cfg, model_cfg, dilate, personalized, variants)
+    if chunk % select_every != 0:
+        raise ValueError(f"select_every={select_every} must divide the "
+                         f"dispatch chunk ({chunk})")
+    _, synth_one = make_synthesis_fn(cfg, model_cfg, dilate, personalized,
+                                     variants, _return_one=True)
 
     @jax.jit
     def synth_chunk(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
                     mouth_pmf, batch: FrameBatch, ivec):
-        def one(_, i):
-            return None, synth(face_state, mouth_state, face_umf, mouth_umf,
-                               face_pmf, mouth_pmf, batch, i)
-        return jax.lax.scan(one, None, ivec)[1]
+        groups = ivec.reshape(-1, select_every)
+
+        def one(_, g):
+            imgs, sels = [], None
+            for j in range(select_every):
+                img, sels = synth_one(face_state, mouth_state, face_umf,
+                                      mouth_umf, face_pmf, mouth_pmf, batch,
+                                      g[j], sels if j else None)
+                imgs.append(img)
+            return None, jnp.stack(imgs)
+
+        out = jax.lax.scan(one, None, groups)[1]
+        return out.reshape((out.shape[0] * out.shape[1],) + out.shape[2:])
 
     return synth_chunk
 
@@ -180,7 +218,8 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
                dilate: bool = False, personalized: bool = False,
                out_path: str | None = None, fps: int = 25,
                max_frames: int | None = None, dump_plys: int = 0,
-               ply_dir: str = "", fast: bool = True):
+               ply_dir: str = "", fast: bool = True,
+               select_every: int = 1):
     """Render a full clip; returns (frames [T,H,W,3] uint8, fps achieved).
 
     With ``fast=False`` (the reference default, synthesize_fuse.py:81-90)
@@ -199,7 +238,8 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
 
     variants = (not fast) and out_path is not None
     synth_full = make_synthesis_chunk_fn(cfg, model_cfg, dilate, personalized,
-                                         variants=variants)
+                                         variants=variants,
+                                         select_every=select_every)
 
     if dump_plys:
         export_deformed_plys(cfg, model_cfg, fuse_bundle, batch,

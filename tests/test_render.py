@@ -180,3 +180,145 @@ def test_face_val_reporter_panels(tmp_path):
     from PIL import Image
     img = Image.open(tmp_path / "val_renders" / sorted(pngs)[0])
     assert img.size[0] == 8 * size
+
+
+# ---------------------------------------------------------------------------
+# selection reuse (synthesis temporal coherence — ops.rasterize.prepare
+# selection=..., render_motion selection=..., --select_every)
+# ---------------------------------------------------------------------------
+
+def _motion_setup(size=32, n=64):
+    from instag_tpu.bench_utils import (synthetic_camera,
+                                        synthetic_motion_params,
+                                        synthetic_state)
+    cfg = RasterizeConfig(size, size, max_per_tile=64, tile_chunk=4)
+    state = synthetic_state(n, n, seed=0, scale=0.01)
+    nets = synthetic_motion_params()
+    cam = synthetic_camera(size)
+    return cfg, state, nets, cam
+
+
+def test_selection_reuse_identical_frame_is_exact():
+    """Reusing a frame's own selection must reproduce it bit-for-bit (the
+    reuse path changes WHERE ids come from, nothing else)."""
+    from instag_tpu.render import render_motion
+
+    cfg, state, nets, cam = _motion_setup()
+    bg = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+
+    def run(selection):
+        return render_motion(
+            cfg, cam, state,
+            umf=lambda x, a, e: nets["face_net"].apply(
+                nets["face_umf_params"], x, a, e),
+            aud=nets["aud"], exp=nets["exp"], bg=bg,
+            pmf=lambda x, a, e: nets["face_pmf_net"].apply(
+                nets["face_pmf_params"], x, a, e),
+            personalized=True, align=True, selection=selection)
+
+    fresh = jax.jit(lambda: run(None))()
+    reused = jax.jit(lambda s: run(s))(fresh.selection)
+    np.testing.assert_array_equal(np.asarray(fresh.out.image),
+                                  np.asarray(reused.out.image))
+    np.testing.assert_array_equal(np.asarray(fresh.out.alpha),
+                                  np.asarray(reused.out.alpha))
+    np.testing.assert_array_equal(np.asarray(fresh.selection[0]),
+                                  np.asarray(reused.selection[0]))
+
+
+def test_selection_reuse_small_motion_stays_close():
+    """A frames-old selection against new audio (new deformation) must stay
+    visually indistinguishable — talking-scale motion barely changes tile
+    membership."""
+    from instag_tpu.render import render_motion
+    from instag_tpu.utils.losses import psnr
+
+    cfg, state, nets, cam = _motion_setup()
+    bg = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    aud2 = nets["aud"] + 0.5 * jax.random.normal(jax.random.key(7),
+                                                 nets["aud"].shape)
+
+    def run(aud, selection):
+        return render_motion(
+            cfg, cam, state,
+            umf=lambda x, a, e: nets["face_net"].apply(
+                nets["face_umf_params"], x, a, e),
+            aud=aud, exp=nets["exp"], bg=bg,
+            pmf=lambda x, a, e: nets["face_pmf_net"].apply(
+                nets["face_pmf_params"], x, a, e),
+            personalized=True, align=True, selection=selection)
+
+    f = jax.jit(run, static_argnums=())
+    frame1 = jax.jit(lambda a: run(a, None))(nets["aud"])
+    fresh2 = jax.jit(lambda a: run(a, None))(aud2)
+    stale2 = jax.jit(lambda a, s: run(a, s))(aud2, frame1.selection)
+    p = float(psnr(jnp.clip(stale2.out.image, 0, 1),
+                   jnp.clip(fresh2.out.image, 0, 1)))
+    assert p > 40.0, p
+
+
+def test_selection_reuse_masks_culled_splats():
+    """A stale selection may reference splats the current frustum culls;
+    composite_prepared(mask_invisible=True) must zero them instead of
+    compositing garbage."""
+    from instag_tpu.ops.rasterize import composite_prepared, prepare
+
+    size = 32
+    cfg = RasterizeConfig(size, size, max_per_tile=16, tile_chunk=4)
+    from instag_tpu.bench_utils import synthetic_camera
+    cam = synthetic_camera(size)
+    n = 8
+    rng = np.random.default_rng(0)
+    means = jnp.asarray(rng.uniform(-0.05, 0.05, (n, 3)).astype(np.float32))
+    scales = jnp.full((n, 3), 0.02)
+    rots = jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 1))
+    opac = jnp.full((n, 1), 0.9)
+    colors = jnp.full((n, 3), 0.5)
+    bg = jnp.zeros(3)
+
+    args = (cfg, means, scales, rots, cam.view_transform,
+            cam.full_proj_transform, cam.camera_center, cam.tanfovx,
+            cam.tanfovy)
+    prep1 = prepare(*args)
+    sel = (prep1.ids, prep1.valid)
+
+    # move every splat behind the camera (the synthetic camera sits at
+    # world z=-10/3 looking toward +z: view-space tz = z + 10/3, so
+    # z = -100 puts them far behind): current projection culls all
+    behind = means + jnp.array([0.0, 0.0, -100.0])
+    prep2 = prepare(cfg, behind, scales, rots, cam.view_transform,
+                    cam.full_proj_transform, cam.camera_center, cam.tanfovx,
+                    cam.tanfovy, selection=sel)
+    assert not bool(np.asarray(prep2.proj.visible).any())
+    out = composite_prepared(cfg, prep2, opac, colors, bg,
+                             mask_invisible=True)
+    np.testing.assert_allclose(np.asarray(out.alpha), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.image), 0.0, atol=1e-6)
+
+
+def test_synthesis_chunk_select_every_matches_on_static_frames():
+    """With identical frames in the batch, --select_every k must reproduce
+    per-frame selection bit-for-bit (same selection recomputed or reused)."""
+    from instag_tpu.bench_utils import (synthetic_frame_batch,
+                                        synthetic_motion_params,
+                                        synthetic_state)
+    from instag_tpu.config import ModelConfig
+    from instag_tpu.synthesize import make_synthesis_chunk_fn
+
+    size = 32
+    cfg = RasterizeConfig(size, size, max_per_tile=32, tile_chunk=4)
+    mc = ModelConfig(audio_extractor="deepspeech")
+    face_state = synthetic_state(48, 64, seed=0, scale=0.01)
+    mouth_state = synthetic_state(24, 32, seed=1, scale=0.01)
+    nets = synthetic_motion_params()
+    batch = synthetic_frame_batch(size, n_frames=4)
+
+    args = (face_state, mouth_state, nets["face_umf_params"],
+            nets["mouth_umf_params"], nets["face_pmf_params"],
+            nets["mouth_pmf_params"], batch,
+            jnp.zeros((4,), jnp.int32))          # same frame 4x
+
+    f1 = make_synthesis_chunk_fn(cfg, mc, select_every=1)
+    f2 = make_synthesis_chunk_fn(cfg, mc, select_every=2)
+    np.testing.assert_array_equal(np.asarray(f1(*args)),
+                                  np.asarray(f2(*args)))
