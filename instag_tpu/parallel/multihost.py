@@ -59,7 +59,13 @@ def init_multihost(coordinator: str | None = None,
     if jax.distributed.is_initialized():
         return jax.process_count() > 1
     if coordinator is None and num_processes is None:
-        return jax.process_count() > 1
+        # No coordinator info: do NOT touch jax.process_count() here —
+        # it initializes the XLA backend, after which a LATER call with
+        # coordinator info could never jax.distributed.initialize (the
+        # same failure mode the is_initialized() check above prevents).
+        # Single-process callers simply get False with no side effects;
+        # pod launchers must provide coordinator env vars on first call.
+        return False
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)

@@ -148,6 +148,8 @@ def make_synthesis_chunk_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
     statically inside the body — no lax.cond, one executable. k must
     divide the dispatch chunk (both default small powers of two).
     """
+    if select_every < 1:
+        raise ValueError(f"select_every must be >= 1, got {select_every}")
     if chunk % select_every != 0:
         raise ValueError(f"select_every={select_every} must divide the "
                          f"dispatch chunk ({chunk})")

@@ -322,3 +322,19 @@ def test_synthesis_chunk_select_every_matches_on_static_frames():
     f2 = make_synthesis_chunk_fn(cfg, mc, select_every=2)
     np.testing.assert_array_equal(np.asarray(f1(*args)),
                                   np.asarray(f2(*args)))
+
+
+def test_synthesis_chunk_select_every_rejects_nonpositive():
+    """select_every < 1 must raise up front (CLI-exposed value 0 used to hit
+    ZeroDivisionError; negatives passed the modulo check then failed deep in
+    reshape) — ADVICE r4."""
+    import pytest
+
+    from instag_tpu.config import ModelConfig
+    from instag_tpu.synthesize import make_synthesis_chunk_fn
+
+    cfg = RasterizeConfig(32, 32, max_per_tile=32, tile_chunk=4)
+    mc = ModelConfig(audio_extractor="deepspeech")
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="select_every"):
+            make_synthesis_chunk_fn(cfg, mc, select_every=bad)
