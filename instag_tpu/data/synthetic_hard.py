@@ -433,8 +433,11 @@ def _landmarks(ident: _Identity, m: np.ndarray, c2w, focal, h, w):
 def generate_hard_scene(path: str, n_frames: int = 250, size: int = 256,
                         audio_extractor: str = "deepspeech", seed: int = 0,
                         n_val: int = 25, art_dims: int = 8,
-                        supersample: int = 2) -> None:
-    """Write one hard identity in the reference on-disk dataset contract."""
+                        supersample: int = 2) -> "_MotionModel":
+    """Write one hard identity in the reference on-disk dataset contract.
+
+    Returns the identity's motion model so callers (render_hard_video) can
+    synthesize a WAV whose acoustics encode the same articulation."""
     os.makedirs(path, exist_ok=True)
     for sub in ["gt_imgs", "torso_imgs", "parsing", "teeth_mask", "ori_imgs"]:
         os.makedirs(os.path.join(path, sub), exist_ok=True)
@@ -496,6 +499,11 @@ def generate_hard_scene(path: str, n_frames: int = 250, size: int = 256,
         # box-filter downsample (antialiasing)
         img = img_hi.reshape(h, ss, w, ss, 3).mean(axis=(1, 3))
         img = np.clip(img, 0, 255).astype(np.uint8)
+        # composite the torso into gt: the reader renders against
+        # bg = torso-over-bc (dataset.py:221-223), so gt must show the
+        # torso where the head doesn't cover it (here they never overlap)
+        tm = torso[..., 3] > 0
+        img[tm] = torso[tm, :3]
         Image.fromarray(img).save(os.path.join(path, "gt_imgs", f"{i}.jpg"),
                                   quality=95)
         Image.fromarray(torso).save(
@@ -509,6 +517,7 @@ def generate_hard_scene(path: str, n_frames: int = 250, size: int = 256,
         mouth_m = down_mask(masks["mouth"])
         teeth_m = down_mask(masks["teeth"])
         parsing = np.full((h, w, 3), 255, np.uint8)        # bg = white
+        parsing[tm] = (255, 0, 0)                           # torso = red
         parsing[head_m] = (0, 0, 255)                       # face = blue
         parsing[hair_m] = (0, 0, 0)                         # hair = black
         parsing[mouth_m] = (100, 100, 100)                  # mouth
@@ -568,3 +577,81 @@ def generate_hard_scene(path: str, n_frames: int = 250, size: int = 256,
     xyz, colors = random_init_points(1000, seed)
     write_point_cloud(os.path.join(path, "points3d.ply"), xyz,
                       (colors * 255).astype(np.uint8))
+    return motion
+
+
+def synthesize_articulation_wav(motion: "_MotionModel", total: int,
+                                fps: int = 25, sr: int = 16000,
+                                seed: int = 0) -> np.ndarray:
+    """WAV whose band energies encode the articulation signals.
+
+    Each articulation dim amplitude-modulates one log-spaced sine carrier
+    (250 Hz..~3 kHz, one per mel region), so the deepspeech SURROGATE
+    features (26 log-mels + energy/centroid/flux,
+    data_utils/audio_features.py:147) recover a(t) linearly — the
+    video->preprocess->train chain then trains a genuinely audio-driven
+    motion field with no weights-gated extractor in the loop."""
+    n = int(total / fps * sr)
+    tau = np.arange(n, dtype=np.float64) / sr
+    # per-sample articulation via linear interp of the per-frame values
+    ft = np.clip(tau * fps, 0, total - 1)
+    i0 = np.floor(ft).astype(int)
+    i1 = np.minimum(i0 + 1, total - 1)
+    w1 = ft - i0
+    a_frames = np.stack([motion.art(t) for t in range(total)])  # [T, D]
+    a_s = a_frames[i0] * (1 - w1[:, None]) + a_frames[i1] * w1[:, None]
+    d_dims = a_frames.shape[1]
+    freqs = 250.0 * (2.0 ** (0.47 * np.arange(d_dims)))
+    sig = np.zeros(n)
+    for di in range(d_dims):
+        amp = 0.55 + 0.45 * np.tanh(a_s[:, di])
+        sig += amp * np.sin(2 * np.pi * freqs[di] * tau + 0.7 * di)
+    sig += 0.01 * np.random.default_rng(seed).normal(size=n)
+    return (0.5 * sig / np.abs(sig).max()).astype(np.float32)
+
+
+def render_hard_video(root: str, n_frames: int = 120, size: int = 256,
+                      seed: int = 0, n_val: int = 25, fps: int = 25,
+                      supersample: int = 2) -> tuple[str, str]:
+    """The raw-capture entry for the E2E seam (VERDICT r4 item 3).
+
+    Writes ``<root>/data/video.mp4`` (what a user's camera produces) plus
+    ``<root>/gt_stub/`` holding ONLY the artifacts whose extractors are
+    weights-gated in this image (parsing masks, 68-pt landmarks, teeth
+    masks, au.csv — BiSeNet/FAN/easyportrait/OpenFace stand-ins the
+    generator knows exactly), and a real ``aud.wav`` whose band energies
+    encode the articulation. Everything else (audio features, background
+    plate, torso/gt split, head tracking, transforms) is computed by the
+    REAL pipeline: data_utils/process.py --synthetic_gt <root>/gt_stub.
+
+    Returns (video_path, gt_stub_dir).
+    """
+    import cv2
+
+    stub = os.path.join(root, "gt_stub")
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    motion = generate_hard_scene(stub, n_frames=n_frames, size=size,
+                                 seed=seed, n_val=n_val,
+                                 supersample=supersample)
+    total = n_frames + n_val
+
+    video_path = os.path.join(data_dir, "video.mp4")
+    vw = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                         fps, (size, size))
+    if not vw.isOpened():                    # codec fallback (no x264 here)
+        video_path = os.path.join(data_dir, "video.avi")
+        vw = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"MJPG"),
+                             fps, (size, size))
+    from PIL import Image
+    for i in range(total):
+        fr = np.asarray(Image.open(os.path.join(stub, "gt_imgs",
+                                                f"{i}.jpg")))
+        vw.write(fr[:, :, ::-1])             # RGB -> BGR
+    vw.release()
+
+    from scipy.io import wavfile
+    wav = synthesize_articulation_wav(motion, total, fps=fps, seed=seed)
+    wavfile.write(os.path.join(data_dir, "aud.wav"), 16000,
+                  (wav * 32767).astype(np.int16))
+    return video_path, stub

@@ -31,6 +31,9 @@ def extract_audio(path: str, out_path: str, sample_rate: int = 16000) -> None:
         return
     ffmpeg = shutil.which("ffmpeg")
     if not ffmpeg:
+        if os.path.exists(out_path):
+            print(f"[INFO] no ffmpeg; using pre-extracted {out_path}")
+            return
         raise RuntimeError(
             "ffmpeg is not available in this environment; provide a "
             "pre-extracted aud.wav next to the video instead")
@@ -316,11 +319,47 @@ def load_track_params(base_dir: str) -> dict:
     return {k: np.asarray(v) for k, v in d.items()}
 
 
+def _copy_synthetic_gt(gt_dir: str, base_dir: str, ori_imgs_dir: str,
+                       parsing_dir: str, what: str) -> None:
+    """Satisfy a weights-gated task from a synthetic-GT stub directory
+    (data/synthetic_hard.py render_hard_video): the generator knows the
+    exact parsing masks / landmarks / teeth masks / AUs, so the chain can
+    run end-to-end in-env with zero external checkpoints. Frame counts
+    must match the extracted video frames."""
+    n_frames = len(glob.glob(os.path.join(ori_imgs_dir, "*.jpg")))
+    if what == "parsing":
+        srcs = sorted(glob.glob(os.path.join(gt_dir, "parsing", "*.png")))
+        dst = parsing_dir
+    elif what == "landmarks":
+        srcs = sorted(glob.glob(os.path.join(gt_dir, "ori_imgs", "*.lms")))
+        dst = ori_imgs_dir
+    elif what == "teeth":
+        srcs = sorted(glob.glob(os.path.join(gt_dir, "teeth_mask", "*.npy")))
+        dst = os.path.join(base_dir, "teeth_mask")
+        os.makedirs(dst, exist_ok=True)
+    else:
+        raise ValueError(what)
+    if len(srcs) != n_frames:
+        raise RuntimeError(
+            f"synthetic GT stub has {len(srcs)} {what} files but the video "
+            f"extracted {n_frames} frames — regenerate the stub at the "
+            f"video's frame count")
+    print(f"[INFO] synthetic GT: copying {len(srcs)} {what} files")
+    for s in srcs:
+        shutil.copy(s, os.path.join(dst, os.path.basename(s)))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("path", type=str, help="path to video file")
     parser.add_argument("--task", type=int, default=-1, help="-1 = all")
     parser.add_argument("--asr", type=str, default="deepspeech")
+    parser.add_argument("--synthetic_gt", type=str, default=None,
+                        help="synthetic-GT stub dir (render_hard_video): "
+                             "satisfies the weights-gated tasks 4/7/11 "
+                             "(parsing/landmarks/teeth) + au.csv by copying "
+                             "the generator's exact masks instead of "
+                             "running BiSeNet/FAN/EasyPortrait/OpenFace")
     opt = parser.parse_args(argv)
 
     base_dir = os.path.dirname(opt.path)
@@ -331,6 +370,7 @@ def main(argv=None):
     os.makedirs(parsing_dir, exist_ok=True)
 
     t = opt.task
+    gt = opt.synthetic_gt
     if t in (-1, 1):
         extract_audio(opt.path, wav_path)
     if t in (-1, 2):
@@ -338,22 +378,37 @@ def main(argv=None):
     if t in (-1, 3):
         extract_images(opt.path, ori_imgs_dir)
     if t in (-1, 4):
-        extract_semantics(ori_imgs_dir, parsing_dir)
+        if gt:
+            _copy_synthetic_gt(gt, base_dir, ori_imgs_dir, parsing_dir,
+                               "parsing")
+        else:
+            extract_semantics(ori_imgs_dir, parsing_dir)
     if t in (-1, 5):
         extract_background(base_dir, ori_imgs_dir)
     if t in (-1, 6):
         extract_torso_and_gt(base_dir, ori_imgs_dir)
     if t in (-1, 7):
-        extract_landmarks(ori_imgs_dir)
+        if gt:
+            _copy_synthetic_gt(gt, base_dir, ori_imgs_dir, parsing_dir,
+                               "landmarks")
+        else:
+            extract_landmarks(ori_imgs_dir)
     if t in (-1, 8):
         face_tracking(base_dir, ori_imgs_dir)
     if t in (-1, 9):
         save_transforms(base_dir, ori_imgs_dir)
+        if gt and os.path.exists(os.path.join(gt, "au.csv")):
+            shutil.copy(os.path.join(gt, "au.csv"),
+                        os.path.join(base_dir, "au.csv"))
     if t == 10:   # split.py variant: last 12 s as val
         save_transforms(base_dir, ori_imgs_dir, last_seconds_val=12)
     if t in (-1, 11):  # teeth masks (easyportrait equivalent)
-        from .priors import create_teeth_masks
-        create_teeth_masks(base_dir, ori_imgs_dir)
+        if gt:
+            _copy_synthetic_gt(gt, base_dir, ori_imgs_dir, parsing_dir,
+                               "teeth")
+        else:
+            from .priors import create_teeth_masks
+            create_teeth_masks(base_dir, ori_imgs_dir)
     if t == 12:        # sapiens geometry priors (optional, few-shot only)
         from .priors import run_sapiens
         run_sapiens(base_dir)
