@@ -27,6 +27,17 @@ def main(argv=None):
                              "reference-exact per-frame selection; must "
                              "divide the dispatch chunk of 4). Quality "
                              "bound in BASELINE.md 'selection reuse'.")
+    parser.add_argument("--select_auto", type=float, default=0.0,
+                        nargs="?", const=4.0,
+                        help="staleness-GUARDED selection reuse (the "
+                             "default-safe serving mode): refresh the "
+                             "per-tile selection whenever the max "
+                             "projected splat displacement since the last "
+                             "refresh exceeds this many pixels (bare flag "
+                             "= 4.0 = tile/4). Mutually exclusive with "
+                             "--select_every. Worst-frame quality under "
+                             "an adversarial fast head turn quantified in "
+                             "BASELINE.md 'selection auto reuse'.")
     parser.add_argument("--mux_audio", action="store_true",
                         help="attach the tail-aligned dataset aud.wav to "
                              "the output (reference "
@@ -57,7 +68,8 @@ def main(argv=None):
                             ply_dir=os.path.join(mc.model_path,
                                                  "deformed_ply"),
                             fast=args.fast,
-                            select_every=args.select_every)
+                            select_every=args.select_every,
+                            select_auto=args.select_auto)
     print(f"wrote {out}: {video.shape[0]} frames @ {fps:.1f} FPS synthesis")
 
     if args.mux_audio:

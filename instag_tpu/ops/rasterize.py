@@ -388,6 +388,12 @@ def _tile_select(cfg: RasterizeConfig, proj: Projected):
     return ids.reshape(-1, K)[:T], valid.reshape(-1, K)[:T]
 
 
+# public alias: the staleness-guarded serving mode (synthesize
+# --select_auto) rebuilds fresh tile lists from a Prepared's projection
+# inside a lax.cond refresh branch
+tile_select = _tile_select
+
+
 def rasterize(cfg: RasterizeConfig,
               means3d: jnp.ndarray,
               opacities: jnp.ndarray,

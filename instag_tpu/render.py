@@ -87,6 +87,11 @@ class MotionRender(NamedTuple):
     # frame's `selection` to reuse tile membership (synthesis temporal
     # coherence; see ops.rasterize.prepare)
     selection: tuple = ()
+    # the full Prepared (projection + selection) — the staleness-guarded
+    # serving mode (synthesize --select_auto) reads px/py/visible from it
+    # to decide selection refreshes and rebuilds fresh tile lists from
+    # prep.proj; unused outputs are DCE'd from training graphs
+    prep: Any = None
 
 
 def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
@@ -176,7 +181,7 @@ def render_motion(cfg: RasterizeConfig, cam: Camera, state: GaussianState,
                                  mask_invisible=reused)
 
     return MotionRender(out, preds, p_preds, attn, p_attn,
-                        (prep.ids, prep.valid))
+                        (prep.ids, prep.valid), prep)
 
 
 def render_motion_mouth(cfg: RasterizeConfig, cam: Camera,
@@ -268,7 +273,7 @@ def render_motion_mouth(cfg: RasterizeConfig, cam: Camera,
     out = composite_prepared(cfg, prep, opacity, colors, bg,
                              mask_invisible=selection is not None)
     return MotionRender(out, preds, p_preds, None, None,
-                        (prep.ids, prep.valid))
+                        (prep.ids, prep.valid), prep)
 
 
 def composite_fuse(face_img, face_alpha, mouth_img, mouth_alpha, bg_color,

@@ -108,7 +108,7 @@ def make_synthesis_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
                              to_u8(mr.out.image)])
         else:
             img = to_u8(image)
-        return img, (fr.selection, mr.selection)
+        return img, (fr.selection, mr.selection), (fr.prep, mr.prep)
 
     @jax.jit
     def synth(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
@@ -164,9 +164,9 @@ def make_synthesis_chunk_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
         def one(_, g):
             imgs, sels = [], None
             for j in range(select_every):
-                img, sels = synth_one(face_state, mouth_state, face_umf,
-                                      mouth_umf, face_pmf, mouth_pmf, batch,
-                                      g[j], sels if j else None)
+                img, sels, _ = synth_one(face_state, mouth_state, face_umf,
+                                         mouth_umf, face_pmf, mouth_pmf,
+                                         batch, g[j], sels if j else None)
                 imgs.append(img)
             return None, jnp.stack(imgs)
 
@@ -174,6 +174,93 @@ def make_synthesis_chunk_fn(cfg: RasterizeConfig, model_cfg: ModelConfig,
         return out.reshape((out.shape[0] * out.shape[1],) + out.shape[2:])
 
     return synth_chunk
+
+
+def make_synthesis_chunk_auto_fn(cfg: RasterizeConfig,
+                                 model_cfg: ModelConfig,
+                                 dilate: bool = False,
+                                 personalized: bool = False,
+                                 variants: bool = False,
+                                 chunk: int = DISPATCH_CHUNK,
+                                 thresh_px: float = 4.0):
+    """STALENESS-GUARDED selection reuse — the default-safe serving mode
+    (--select_auto; VERDICT r4 item 4).
+
+    Unlike the fixed-cadence ``select_every`` (which has no detector for a
+    fast head turn between refreshes), every frame tracks the maximum
+    projected splat displacement since the last selection refresh (px/py
+    of splats visible at BOTH times — computed by the projection the frame
+    pays for anyway) and a ``lax.cond`` rebuilds fresh tile lists from the
+    current projection the moment it crosses ``thresh_px`` (default 4 px =
+    tile/4 at the 16-px tile). Refresh thus lags the crossing by at most
+    one frame, bounding worst-case staleness at thresh_px + one frame of
+    motion — quantified under an adversarial fast-head-turn sweep in
+    scripts/quantify_select_reuse.py (BASELINE.md "selection auto reuse").
+
+    Returns (boot, step):
+      boot(model_args..., batch, ivec)        -> (imgs, carry)
+      step(model_args..., batch, ivec, carry) -> (imgs, carry)
+    ``boot`` renders the first frame with fresh selection to seed the
+    carry; ``step`` chains carries across dispatches. The carry also
+    counts refreshes (``carry[-1]``) so callers can report the realized
+    refresh rate.
+    """
+    from .ops.rasterize import tile_select
+
+    _, synth_one = make_synthesis_fn(cfg, model_cfg, dilate, personalized,
+                                     variants, _return_one=True)
+
+    def _refs(fprep, mprep):
+        return (fprep.px, fprep.py, fprep.proj.visible,
+                mprep.px, mprep.py, mprep.proj.visible)
+
+    def _staleness(prep, refpx, refpy, refvis):
+        d = jnp.maximum(jnp.abs(prep.px - refpx), jnp.abs(prep.py - refpy))
+        both = prep.proj.visible & refvis
+        return jnp.max(jnp.where(both, d, 0.0))
+
+    def body(carry, i, *margs):
+        fsel_i, fsel_v, msel_i, msel_v, fx, fy, fv, mx, my, mv, nref = carry
+        img, _, (fprep, mprep) = synth_one(*margs, i,
+                                           ((fsel_i, fsel_v),
+                                            (msel_i, msel_v)))
+        stale = jnp.maximum(_staleness(fprep, fx, fy, fv),
+                            _staleness(mprep, mx, my, mv))
+        refresh = stale > thresh_px
+
+        def do_refresh(preps):
+            fp, mp = preps
+            fi, fva = tile_select(cfg, fp.proj)
+            mi, mva = tile_select(cfg, mp.proj)
+            return (fi, fva, mi, mva) + _refs(fp, mp)
+
+        def keep(_):
+            return (fsel_i, fsel_v, msel_i, msel_v, fx, fy, fv, mx, my, mv)
+
+        new = jax.lax.cond(refresh, do_refresh, keep, (fprep, mprep))
+        return new + (nref + refresh.astype(jnp.int32),), img
+
+    @jax.jit
+    def step(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
+             mouth_pmf, batch: FrameBatch, ivec, carry):
+        margs = (face_state, mouth_state, face_umf, mouth_umf, face_pmf,
+                 mouth_pmf, batch)
+        carry, imgs = jax.lax.scan(lambda c, i: body(c, i, *margs),
+                                   carry, ivec)
+        return imgs, carry
+
+    @jax.jit
+    def boot(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
+             mouth_pmf, batch: FrameBatch, ivec):
+        margs = (face_state, mouth_state, face_umf, mouth_umf, face_pmf,
+                 mouth_pmf, batch)
+        img0, (fsel, msel), (fprep, mprep) = synth_one(*margs, ivec[0], None)
+        carry = fsel + msel + _refs(fprep, mprep) + (jnp.int32(1),)
+        carry, imgs = jax.lax.scan(lambda c, i: body(c, i, *margs),
+                                   carry, ivec[1:])
+        return jnp.concatenate([img0[None], imgs], 0), carry
+
+    return boot, step
 
 
 def export_deformed_plys(cfg: RasterizeConfig, model_cfg: ModelConfig,
@@ -221,7 +308,7 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
                out_path: str | None = None, fps: int = 25,
                max_frames: int | None = None, dump_plys: int = 0,
                ply_dir: str = "", fast: bool = True,
-               select_every: int = 1):
+               select_every: int = 1, select_auto: float = 0.0):
     """Render a full clip; returns (frames [T,H,W,3] uint8, fps achieved).
 
     With ``fast=False`` (the reference default, synthesize_fuse.py:81-90)
@@ -239,9 +326,19 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
     cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
 
     variants = (not fast) and out_path is not None
-    synth_full = make_synthesis_chunk_fn(cfg, model_cfg, dilate, personalized,
-                                         variants=variants,
-                                         select_every=select_every)
+    if select_auto > 0 and select_every > 1:
+        raise ValueError("--select_auto and --select_every are mutually "
+                         "exclusive serving modes")
+    if select_auto > 0:
+        boot_fn, step_fn = make_synthesis_chunk_auto_fn(
+            cfg, model_cfg, dilate, personalized, variants=variants,
+            thresh_px=select_auto)
+        synth_full = None
+    else:
+        synth_full = make_synthesis_chunk_fn(cfg, model_cfg, dilate,
+                                             personalized,
+                                             variants=variants,
+                                             select_every=select_every)
 
     if dump_plys:
         export_deformed_plys(cfg, model_cfg, fuse_bundle, batch,
@@ -261,32 +358,51 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
         fuse_bundle["face_pmf_params"], fuse_bundle["mouth_pmf_params"],
         batch))
 
-    def synth(ivec):
-        return synth_full(*clip_args, jnp.asarray(ivec, jnp.int32))
+    _carry = None
+
+    def synth(ivec, first):
+        nonlocal _carry
+        iv = jnp.asarray(ivec, jnp.int32)
+        if select_auto <= 0:
+            return synth_full(*clip_args, iv)
+        if first:
+            imgs, _carry = boot_fn(*clip_args, iv)
+        else:
+            imgs, _carry = step_fn(*clip_args, iv, _carry)
+        return imgs
 
     # chunked dispatch (DISPATCH_CHUNK frames per RPC — see
     # make_synthesis_chunk_fn), dispatching ahead and fetching in
     # half-window batches: when the dispatch queue fills, the OLDER half
     # fetches as ONE jax.device_get (one RPC round trip per window//2
     # chunks) while the newer half keeps the device busy through the
-    # transfer.
+    # transfer. In --select_auto mode the selection carry chains across
+    # dispatches as device handles (no host sync).
     nf = batch.num_frames
     idx_all = np.minimum(np.arange(-(-nf // DISPATCH_CHUNK)
                                    * DISPATCH_CHUNK), nf - 1)
     chunks = idx_all.reshape(-1, DISPATCH_CHUNK)
     frames = []
-    np.asarray(synth(chunks[0]))         # compile
+    np.asarray(synth(chunks[0], True))   # compile (boot)
+    if select_auto > 0 and len(chunks) > 1:
+        np.asarray(synth(chunks[1], False))  # compile the steady-state step
+    _carry = None
     t0 = time.time()
     window = 16                          # pending chunks (= 64 frames)
     pending = []
-    for ch in chunks:
-        pending.append(synth(ch))
+    for ci, ch in enumerate(chunks):
+        pending.append(synth(ch, ci == 0))
         if len(pending) >= window:
             frames.extend(jax.device_get(pending[:window // 2]))
             pending = pending[window // 2:]
     frames.extend(jax.device_get(pending))
     dt = time.time() - t0
     achieved_fps = nf / max(dt, 1e-9)
+    if select_auto > 0 and _carry is not None:
+        n_refresh = int(jax.device_get(_carry[-1]))
+        print(f"[synthesize] select_auto({select_auto:g}px): "
+              f"{n_refresh}/{len(idx_all)} selection refreshes "
+              f"({100.0 * n_refresh / max(len(idx_all), 1):.1f}%)")
 
     stacked = np.concatenate(frames, axis=0)[:nf]
     if variants:

@@ -10,7 +10,10 @@ import numpy as np
 import pytest
 
 from instag_tpu.io.avmux import (mux_audio, read_wav_mono, tail_audio,
+
                                  write_avi_mjpeg_pcm)
+
+pytestmark = pytest.mark.smoke  # fast contract tier: pytest -m smoke < 5 min
 
 
 def _write_wav(path, samples, sr=16000, ch=1):

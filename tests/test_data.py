@@ -10,6 +10,8 @@ from instag_tpu.data.plyio import (read_ply, read_point_cloud, write_ply,
                                    write_point_cloud)
 from instag_tpu.data.synthetic import generate_scene
 
+pytestmark = pytest.mark.smoke  # fast contract tier: pytest -m smoke < 5 min
+
 
 def test_ply_roundtrip(tmp_path):
     rng = np.random.default_rng(0)

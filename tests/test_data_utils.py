@@ -15,6 +15,8 @@ from instag_tpu.data_utils.tracker import (canonical_landmarks_3d, rot2euler,
                                            track_poses, _RIGID)
 from instag_tpu.data_utils.audio_features import make_frame_windows
 
+pytestmark = pytest.mark.smoke  # fast contract tier: pytest -m smoke < 5 min
+
 
 def test_euler_rot_roundtrip():
     rng = np.random.default_rng(0)

@@ -2,9 +2,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from instag_tpu.ops.hashgrid import (
     HashGridConfig, hashgrid_encode_jit as hashgrid_encode, init_hashgrid,
     split_xyz, triplane_configs)
+
+pytestmark = pytest.mark.smoke  # fast contract tier: pytest -m smoke < 5 min
 
 PRIMES = (1, 2654435761, 805459861)
 

@@ -6,7 +6,10 @@ import jax.numpy as jnp
 import pytest
 
 from instag_tpu.models.lpips import (LPIPS, convert_torch_lpips,
+
                                      load_lpips_params)
+
+pytestmark = pytest.mark.smoke  # fast contract tier: pytest -m smoke < 5 min
 
 
 def test_lpips_basic_properties():

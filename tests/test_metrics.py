@@ -5,8 +5,11 @@ import numpy as np
 import pytest
 
 from instag_tpu.metrics import (au_error, evaluate_frames, lmd_from_landmarks,
+
                                 load_gt_landmarks, track_video_landmarks,
                                 video_psnr)
+
+pytestmark = pytest.mark.smoke  # fast contract tier: pytest -m smoke < 5 min
 
 
 def _base_lms(t=4, seed=0):

@@ -20,6 +20,8 @@ from instag_tpu.io.reference_convert import (audio_feature, convert_capture,
                                              mlp)
 from instag_tpu.models.nets import MLP, AudioAttNet, AudioNet
 
+pytestmark = pytest.mark.smoke  # fast contract tier: pytest -m smoke < 5 min
+
 
 class TorchAudioNet(tnn.Module):
     """scene/motion_net.py:68-99 spec: 4x Conv1d(k3,s2,p1)+LeakyReLU(.02),

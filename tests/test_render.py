@@ -338,3 +338,96 @@ def test_synthesis_chunk_select_every_rejects_nonpositive():
     for bad in (0, -2):
         with pytest.raises(ValueError, match="select_every"):
             make_synthesis_chunk_fn(cfg, mc, select_every=bad)
+
+
+def test_synthesis_auto_static_is_exact_and_refreshes_once():
+    """--select_auto on static frames: zero staleness -> boot refresh only,
+    and the images match reference-exact per-frame selection bit-for-bit."""
+    from instag_tpu.bench_utils import (synthetic_frame_batch,
+                                        synthetic_motion_params,
+                                        synthetic_state)
+    from instag_tpu.config import ModelConfig
+    from instag_tpu.synthesize import (make_synthesis_chunk_auto_fn,
+                                       make_synthesis_chunk_fn)
+
+    size = 32
+    cfg = RasterizeConfig(size, size, max_per_tile=32, tile_chunk=4)
+    mc = ModelConfig(audio_extractor="deepspeech")
+    face_state = synthetic_state(48, 64, seed=0, scale=0.01)
+    mouth_state = synthetic_state(24, 32, seed=1, scale=0.01)
+    nets = synthetic_motion_params()
+    batch = synthetic_frame_batch(size, n_frames=4)
+    margs = (face_state, mouth_state, nets["face_umf_params"],
+             nets["mouth_umf_params"], nets["face_pmf_params"],
+             nets["mouth_pmf_params"], batch)
+    ivec = jnp.zeros((4,), jnp.int32)            # same frame 4x
+
+    exact = make_synthesis_chunk_fn(cfg, mc, select_every=1)(*margs, ivec)
+    boot, step = make_synthesis_chunk_auto_fn(cfg, mc, thresh_px=4.0)
+    imgs1, carry = boot(*margs, ivec)
+    imgs2, carry = step(*margs, ivec, carry)
+    np.testing.assert_array_equal(np.asarray(imgs1), np.asarray(exact))
+    np.testing.assert_array_equal(np.asarray(imgs2), np.asarray(exact))
+    assert int(carry[-1]) == 1                   # boot refresh only
+
+
+def test_synthesis_auto_refreshes_on_fast_head_turn():
+    """--select_auto under an adversarial pose jump: the displacement guard
+    fires (refresh count grows) and the post-jump frame is rendered from a
+    refreshed selection (matches exact), where fixed-cadence reuse would
+    keep compositing pre-jump tile lists."""
+    from instag_tpu.bench_utils import (synthetic_camera,
+                                        synthetic_frame_batch,
+                                        synthetic_motion_params,
+                                        synthetic_state)
+    from instag_tpu.config import ModelConfig
+    from instag_tpu.synthesize import (make_synthesis_chunk_auto_fn,
+                                       make_synthesis_chunk_fn)
+    from instag_tpu.utils.graphics import projection_matrix, world_to_view
+    from instag_tpu.utils.losses import psnr
+
+    size = 64
+    cfg = RasterizeConfig(size, size, max_per_tile=32, tile_chunk=4)
+    mc = ModelConfig(audio_extractor="deepspeech")
+    face_state = synthetic_state(48, 64, seed=0, scale=0.01)
+    mouth_state = synthetic_state(24, 32, seed=1, scale=0.01)
+    nets = synthetic_motion_params()
+    batch = synthetic_frame_batch(size, n_frames=4)
+
+    # frames 2-3: a fast head move (diagonal lateral shift — ~21 px of
+    # uniform projected displacement, landing the cloud in tiles whose
+    # stale lists never saw it: the worst case fixed-cadence reuse cannot
+    # detect)
+    proj = projection_matrix(0.01, 100.0, 0.5, 0.5)
+    R = np.eye(3, dtype=np.float32)
+    w2c = world_to_view(R, np.array([0.55, 0.55, 10.0 / 3.0], np.float32))
+    vt = np.asarray(batch.view_transform).copy()
+    ft = np.asarray(batch.full_proj_transform).copy()
+    cc = np.asarray(batch.camera_center).copy()
+    vt[2:] = w2c.T
+    ft[2:] = (proj @ w2c).T
+    cc[2:] = np.linalg.inv(w2c)[:3, 3]
+    batch = batch.replace(view_transform=jnp.asarray(vt),
+                          full_proj_transform=jnp.asarray(ft),
+                          camera_center=jnp.asarray(cc))
+
+    margs = (face_state, mouth_state, nets["face_umf_params"],
+             nets["mouth_umf_params"], nets["face_pmf_params"],
+             nets["mouth_pmf_params"], batch)
+    ivec = jnp.arange(4, dtype=jnp.int32)
+
+    exact = make_synthesis_chunk_fn(cfg, mc, select_every=1)(*margs, ivec)
+    stale = make_synthesis_chunk_fn(cfg, mc, select_every=4)(*margs, ivec)
+    boot, step = make_synthesis_chunk_auto_fn(cfg, mc, thresh_px=4.0)
+    auto, carry = boot(*margs, ivec)
+    assert int(carry[-1]) >= 2                   # boot + jump-triggered
+
+    def p(a, b):
+        return float(psnr(jnp.asarray(a, jnp.float32) / 255.0,
+                          jnp.asarray(b, jnp.float32) / 255.0))
+
+    # frame 3 (one frame after the jump): auto has refreshed, fixed-cadence
+    # has not — auto must be strictly better and near-exact
+    p_auto, p_stale = p(auto[3], exact[3]), p(stale[3], exact[3])
+    assert p_auto > p_stale + 3.0, (p_auto, p_stale)
+    assert p_auto > 45.0, p_auto

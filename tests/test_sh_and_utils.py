@@ -8,6 +8,9 @@ from instag_tpu.utils.general import (
 from instag_tpu.utils.graphics import (
     focal2fov, fov2focal, projection_matrix, world_to_view)
 from instag_tpu.utils.losses import l1_loss, patchify, psnr, ssim
+import pytest
+
+pytestmark = pytest.mark.smoke  # fast contract tier: pytest -m smoke < 5 min
 
 
 def _eval_sh_numpy(deg, sh, dirs):

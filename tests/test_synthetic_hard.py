@@ -14,7 +14,10 @@ import numpy as np
 import pytest
 
 from instag_tpu.data.synthetic_hard import (_Identity, _MotionModel,
+
                                             generate_hard_scene)
+
+pytestmark = pytest.mark.smoke  # fast contract tier: pytest -m smoke < 5 min
 
 
 @pytest.fixture(scope="module")
