@@ -66,7 +66,8 @@ def _warm_stage_compiles(mc, oc, fuse_iterations: int,
         batch = build_frame_batch(records)
         _, extent = scene_extent(records)
         h, w = records[0].height, records[0].width
-        cfg = RasterizeConfig(h, w, max_per_tile=mc.max_per_tile)
+        cfg = RasterizeConfig(h, w, max_per_tile=mc.max_per_tile,
+                              approx_topk=mc.approx_topk)
         capacity = mc.resolve_capacity()
         m_init = mouth_init_num or mc.init_num
         mcm = dataclasses.replace(mc, init_num=m_init)

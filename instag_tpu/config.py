@@ -33,6 +33,11 @@ class ModelConfig:
     # TPU additions
     capacity: int = 0         # 0 => auto (16x init_num, tiled to 1024)
     max_per_tile: int = 256   # rasterizer per-tile splat budget
+    # --no_approx_topk: EXACT per-tile top-K selection (lax.top_k) instead
+    # of the shipping recall-0.9 approx_max_k — the A/B knob that bounds
+    # the approximation's effect on a full adaptation (BASELINE.md
+    # "approx-selection A/B")
+    approx_topk: bool = True
     # pack/resize the padded cloud to occupancy at log points (adaptation
     # trainers); resolve_capacity() stays the hard ceiling
     adaptive_capacity: bool = True

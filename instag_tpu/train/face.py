@@ -412,7 +412,8 @@ def train_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
         batch = build_frame_batch(records, with_priors=has_priors)
     _, extent = scene_extent(records)
     h, w = records[0].height, records[0].width
-    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
+    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile,
+                          approx_topk=model_cfg.approx_topk)
 
     iterations = opt_cfg.iterations
     densify_until = iterations - 1000          # train_face.py:40

@@ -235,7 +235,8 @@ def train_fuse(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                     face_state, face_gopt = st, go
                 else:
                     mouth_state, mouth_gopt = st, go
-    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
+    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile,
+                          approx_topk=model_cfg.approx_topk)
 
     # motion nets are frozen in fusion -> inference-mode (gather) lookups
     face_net = MotionNetwork(model_cfg.audio_extractor, onehot=False)

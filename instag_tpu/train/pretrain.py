@@ -483,7 +483,8 @@ def pretrain_face(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                           stream=stream)
            for k, name in enumerate(data_list)]
     h, w = ids[0][0][0].height, ids[0][0][0].width
-    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
+    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile,
+                          approx_topk=model_cfg.approx_topk)
 
     states = [x[2] for x in ids]
     batches = [x[1] for x in ids]
@@ -970,7 +971,8 @@ def pretrain_mouth(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
                           stream=stream)
            for k, name in enumerate(data_list)]
     h, w = ids[0][0][0].height, ids[0][0][0].width
-    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
+    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile,
+                          approx_topk=model_cfg.approx_topk)
 
     states = [x[2] for x in ids]
     batches = [x[1] for x in ids]

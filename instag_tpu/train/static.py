@@ -75,7 +75,8 @@ def train(model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
     _, extent = scene_extent(records)
 
     h, w = records[0].height, records[0].width
-    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile)
+    cfg = RasterizeConfig(h, w, max_per_tile=model_cfg.max_per_tile,
+                          approx_topk=model_cfg.approx_topk)
 
     capacity = model_cfg.resolve_capacity()
     xyz, colors = random_init_points(model_cfg.init_num)
