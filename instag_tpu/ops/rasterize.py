@@ -67,6 +67,15 @@ class RasterizeConfig:
     # becomes visible) at ~60% of the .95 sweep cost.
     approx_topk: bool = True
     approx_recall: float = 0.9
+    # dtype of the [chunk, N] selection KEY matrix the top-k sweeps consume
+    # (the selection stage's dominant traffic). bfloat16 halves it; the
+    # cost is depth-ordering quantization (~0.4% relative: splats within a
+    # bf16 depth quantum composite in arbitrary relative order) and is
+    # selection-only — projection, alpha and compositing stay f32. The
+    # membership hit test always runs in f32 (px-scale values lose whole
+    # pixels in bf16). Measured on v5e before shipping a default change
+    # (scripts/quantify_raster.py).
+    select_key_dtype: str = "float32"
     # tiles per top-k sweep in _tile_select; a [select_chunk, N] key matrix
     # per scan step — 128 measured fastest at 512²/30k (1.42 ms vs 1.60 at
     # 256, 4.8 at 1024; the sweet spot balances sweep count against the
@@ -366,7 +375,17 @@ def _tile_select(cfg: RasterizeConfig, proj: Projected):
     tile_ids = jnp.pad(tile_ids, (0, pad))
     tile_ids = tile_ids.reshape(-1, chunk)
 
+    kdt = jnp.dtype(cfg.select_key_dtype)
     neg_depth = jnp.where(proj.visible, -proj.depth, -jnp.inf)
+    if kdt != jnp.float32:
+        # bf16 precision is RELATIVE: a head at view depth ~3.3 with ~0.3
+        # of depth spread has a 0.013 quantum (whole-slab ordering ties);
+        # rebasing to the nearest visible depth moves the spread next to
+        # zero where the quantum is ~10x finer (~1 mm)
+        d0 = jnp.min(jnp.where(proj.visible, proj.depth, jnp.inf))
+        neg_depth = jnp.where(proj.visible, d0 - proj.depth, -jnp.inf)
+    neg_depth = neg_depth.astype(kdt)
+    neg_inf = jnp.asarray(-jnp.inf, kdt)
 
     kk = min(K, proj.px.shape[0])
 
@@ -377,7 +396,7 @@ def _tile_select(cfg: RasterizeConfig, proj: Projected):
         y0, y1 = ty * tile, (ty + 1) * tile
         hit = ((xmax[None, :] >= x0[:, None]) & (xmin[None, :] <= x1[:, None]) &
                (ymax[None, :] >= y0[:, None]) & (ymin[None, :] <= y1[:, None]))
-        keys = jnp.where(hit, neg_depth[None, :], -jnp.inf)   # [chunk, N]
+        keys = jnp.where(hit, neg_depth[None, :], neg_inf)    # [chunk, N]
         vals, idx = _topk_keys(cfg, keys, kk)                 # nearest first
         if kk < K:
             idx = jnp.pad(idx, ((0, 0), (0, K - kk)))

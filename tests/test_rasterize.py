@@ -328,3 +328,39 @@ def test_two_stage_select_gradients_match():
     for ga, gb in zip(grads[False], grads[True]):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_select_key_dtype_bf16_rebased_matches_f32():
+    """bfloat16 selection keys (select_key_dtype knob): after rebasing
+    depths to the nearest visible depth (bf16 precision is relative —
+    without it a head at depth ~3.3 loses whole 13-mm slabs to ordering
+    ties), tile membership and front ordering match f32 keys exactly at
+    talking-head depth spreads."""
+    import numpy as np
+    from instag_tpu.bench_utils import synthetic_camera, synthetic_state
+    from instag_tpu.ops.rasterize import RasterizeConfig, prepare
+
+    size = 128
+    st = synthetic_state(2000, 2048, seed=0, scale=0.01)
+    cam = synthetic_camera(size)
+
+    def sel(dtype):
+        cfg = RasterizeConfig(size, size, max_per_tile=64, tile_chunk=8,
+                              approx_topk=False, select_key_dtype=dtype)
+        p = prepare(cfg, st.params.xyz, st.get_scaling(),
+                    st.get_rotation(), cam.view_transform,
+                    cam.full_proj_transform, cam.camera_center,
+                    cam.tanfovx, cam.tanfovy, active=st.alive)
+        return np.asarray(p.ids), np.asarray(p.valid)
+
+    i32, v32 = sel("float32")
+    i16, v16 = sel("bfloat16")
+    np.testing.assert_array_equal(v32, v16)
+    for t in range(i32.shape[0]):
+        # identical MEMBERSHIP; ordering may swap only within exact bf16
+        # depth ties (the documented accepted cost), so pin the set and
+        # the front-most splat, not the full order
+        np.testing.assert_array_equal(np.sort(i32[t][v32[t]]),
+                                      np.sort(i16[t][v16[t]]))
+        if v32[t].any():
+            assert i32[t][0] == i16[t][0]
