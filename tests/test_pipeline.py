@@ -90,6 +90,22 @@ def test_synthesize_produces_video(model_cfg, fuse_result, tmp_path):
     assert 5 < video.mean() < 250
 
 
+def test_synthesize_select_auto_matches_exact(model_cfg, fuse_result):
+    """The guarded serving mode through the PRODUCTION synthesize() driver
+    (boot/step compile, carry threading across dispatches, refresh-rate
+    report): on the val clip (sub-threshold per-frame camera drift) the
+    output must be visually identical to per-frame-exact selection."""
+    from instag_tpu.synthesize import synthesize
+    exact, _ = synthesize(model_cfg, fuse_result, split="val",
+                          out_path=None)
+    auto, _ = synthesize(model_cfg, fuse_result, split="val",
+                         out_path=None, select_auto=4.0)
+    assert auto.shape == exact.shape and auto.dtype == np.uint8
+    err = (auto.astype(np.float32) - exact.astype(np.float32)) / 255.0
+    p_db = -10.0 * np.log10(np.mean(err ** 2) + 1e-12)
+    assert p_db > 50.0, p_db
+
+
 def test_checkpoint_roundtrip(model_cfg, face_result, tmp_path):
     from instag_tpu.io.checkpoints import (load_bundle, load_gaussian_ply,
                                            save_bundle, save_gaussian_ply)
