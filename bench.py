@@ -326,6 +326,45 @@ def main():
         spread_ms=round(1000 * (s4ts[-1] - s4ts[0]) /
                         (n_disp * DISPATCH_CHUNK), 3))
 
+    # default-safe serving mode: --select_auto (staleness-GUARDED selection
+    # reuse — refreshes when max projected splat displacement since the
+    # last refresh crosses 4 px; worst-frame quality under an adversarial
+    # fast head turn quantified in BASELINE.md "selection auto reuse")
+    from instag_tpu.synthesize import make_synthesis_chunk_auto_fn
+
+    boot_a, step_a = make_synthesis_chunk_auto_fn(cfg, mc_b,
+                                                  personalized=True,
+                                                  thresh_px=4.0)
+    imgs_a, carry0 = boot_a(*s4_args, sbatch, ivec)
+    _fetch(csum(imgs_a))
+    imgs_a, _ = step_a(*s4_args, sbatch, ivec, carry0)
+    _fetch(csum(imgs_a))                                       # warm
+
+    def _run_auto():
+        c = jax.tree.map(jnp.array, carry0)
+        chk = jnp.float32(0)
+        t0 = time.time()
+        for _ in range(n_disp):
+            b2 = sbatch.replace(auds=sbatch.auds + chk * 1e-30)
+            imgs, c = step_a(*s4_args, b2, ivec, c)
+            chk = csum(imgs)
+        _fetch(chk)
+        return time.time() - t0
+    _run_auto()                                      # warm the full window
+    sats = sorted(_run_auto() for _ in range(REPS))
+    sat = sats[len(sats) // 2] - _RPC_MS / 1e3
+    fps_sa = n_disp * DISPATCH_CHUNK / sat
+    print(f"# synthesis (serving mode, --select_auto 4px): "
+          f"{fps_sa:.2f} FPS "
+          f"({1000*sat/(n_disp*DISPATCH_CHUNK):.2f} ms/frame, spread "
+          f"{1000*(sats[-1]-sats[0])/(n_disp*DISPATCH_CHUNK):.2f})",
+          file=sys.stderr)
+    mfu_stats["synthesis_select_auto"] = dict(
+        ms=round(1000 * sat / (n_disp * DISPATCH_CHUNK), 3),
+        fps=round(fps_sa, 2), thresh_px=4.0,
+        spread_ms=round(1000 * (sats[-1] - sats[0]) /
+                        (n_disp * DISPATCH_CHUNK), 3))
+
     # sub-benchmark: rasterizer fwd+bwd ms/frame (training-path cost)
     def raster_grad(params):
         st = face_state.replace(params=params)
