@@ -52,15 +52,35 @@ def main():
     ap.add_argument("--n_val", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--arms", default=",".join(ARMS))
+    ap.add_argument("--hard", action="store_true",
+                    help="use the HARD textured identity family "
+                         "(data/synthetic_hard.py) — the blob scenes have "
+                         "no texture for LPIPS features to see, which "
+                         "confounds the neutrality conclusion "
+                         "(VERDICT r4 weak 3)")
+    ap.add_argument("--scene_dir", default=None,
+                    help="train on an EXISTING scene directory instead of "
+                         "generating one (e.g. the flagship held-out "
+                         "identity, for cross-experiment comparability)")
     args = ap.parse_args()
 
-    scene = os.path.join(args.root, "scene")
-    from instag_tpu.data.synthetic import generate_scene
-    if not os.path.exists(os.path.join(scene, "transforms_train.json")):
-        generate_scene(scene, n_frames=args.adapt_frames, size=args.size,
-                       n_val=args.n_val, seed=args.seed + 777,
-                       variation=1.0, focal_mult=8.0)
-        print("# scene generated", file=sys.stderr, flush=True)
+    if args.scene_dir:
+        scene = args.scene_dir
+    else:
+        scene = os.path.join(args.root, "scene")
+        if not os.path.exists(os.path.join(scene, "transforms_train.json")):
+            if args.hard:
+                from instag_tpu.data.synthetic_hard import generate_hard_scene
+                generate_hard_scene(scene, n_frames=args.adapt_frames,
+                                    size=args.size, n_val=args.n_val,
+                                    seed=args.seed + 777)
+            else:
+                from instag_tpu.data.synthetic import generate_scene
+                generate_scene(scene, n_frames=args.adapt_frames,
+                               size=args.size, n_val=args.n_val,
+                               seed=args.seed + 777,
+                               variation=1.0, focal_mult=8.0)
+            print("# scene generated", file=sys.stderr, flush=True)
 
     from instag_tpu.cli.adapt import main as adapt_main
 
@@ -104,6 +124,8 @@ def main():
         return res
 
     summary = {"metric": "lpips_fallback_psnr_spread_db", "unit": "dB",
+               "scene": ("dir:" + args.scene_dir if args.scene_dir
+                         else "hard" if args.hard else "blob"),
                "size": args.size, "seed": args.seed,
                "adapt_iterations": args.adapt_iterations}
     for arm in args.arms.split(","):
