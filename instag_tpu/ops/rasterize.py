@@ -506,6 +506,12 @@ def prepare(cfg: RasterizeConfig, means3d, scales, rotations, viewmatrix,
     compositing a reused selection must mask now-invisible splats
     (``composite_prepared(mask_invisible=True)``) since the stale lists
     may reference splats the current frustum culls.
+
+    ``selection`` may also be a CALLABLE ``(proj, px, py) -> (ids, valid)``
+    — it sees the CURRENT frame's projection before any compositing and
+    decides the tile lists itself (e.g. the --select_auto staleness guard,
+    which lax.cond's between reusing carried lists and running
+    ``tile_select`` fresh THIS frame — refresh without a frame of lag).
     """
     proj = project_gaussians(cfg, means3d, scales, rotations, viewmatrix,
                              projmatrix, campos, tanfovx, tanfovy, active)
@@ -513,8 +519,12 @@ def prepare(cfg: RasterizeConfig, means3d, scales, rotations, viewmatrix,
     if means2d_offset is not None:
         px = px + means2d_offset[:, 0]
         py = py + means2d_offset[:, 1]
-    ids, valid = selection if selection is not None else _tile_select(cfg,
-                                                                      proj)
+    if selection is None:
+        ids, valid = _tile_select(cfg, proj)
+    elif callable(selection):
+        ids, valid = selection(proj, px, py)
+    else:
+        ids, valid = selection
     return Prepared(proj, px, py, ids, valid)
 
 

@@ -187,58 +187,65 @@ def make_synthesis_chunk_auto_fn(cfg: RasterizeConfig,
     (--select_auto; VERDICT r4 item 4).
 
     Unlike the fixed-cadence ``select_every`` (which has no detector for a
-    fast head turn between refreshes), every frame tracks the maximum
+    fast head turn between refreshes), every frame measures the maximum
     projected splat displacement since the last selection refresh (px/py
     of splats visible at BOTH times — computed by the projection the frame
-    pays for anyway) and a ``lax.cond`` rebuilds fresh tile lists from the
-    current projection the moment it crosses ``thresh_px`` (default 4 px =
-    tile/4 at the 16-px tile). Refresh thus lags the crossing by at most
-    one frame, bounding worst-case staleness at thresh_px + one frame of
-    motion — quantified under an adversarial fast-head-turn sweep in
-    scripts/quantify_select_reuse.py (BASELINE.md "selection auto reuse").
+    pays for anyway) and, when it crosses ``thresh_px`` (default 4 px =
+    tile/4 at the 16-px tile), a ``lax.cond`` rebuilds fresh tile lists
+    from the current projection *before this frame composites* — the
+    decision sits between projection and compositing
+    (``ops.rasterize.prepare`` selection-callable), so a refresh applies
+    to the SAME frame that detected it, with zero lag. Worst-case
+    staleness is therefore bounded by thresh_px of projected motion
+    regardless of how violently the head moves: a 125°/s whip simply
+    refreshes every frame (paying per-frame-selection cost, never
+    per-frame-selection error). Each branch (face / mouth) carries its
+    own reference and refreshes independently. Quantified under an
+    adversarial fast-head-turn sweep in scripts/quantify_select_reuse.py
+    (BASELINE.md "selection auto reuse").
 
     Returns (boot, step):
       boot(model_args..., batch, ivec)        -> (imgs, carry)
       step(model_args..., batch, ivec, carry) -> (imgs, carry)
     ``boot`` renders the first frame with fresh selection to seed the
     carry; ``step`` chains carries across dispatches. The carry also
-    counts refreshes (``carry[-1]``) so callers can report the realized
-    refresh rate.
+    counts per-branch refreshes (``carry[-1]``, [2] int32) so callers can
+    report the realized refresh rate.
     """
     from .ops.rasterize import tile_select
 
     _, synth_one = make_synthesis_fn(cfg, model_cfg, dilate, personalized,
                                      variants, _return_one=True)
 
-    def _refs(fprep, mprep):
-        return (fprep.px, fprep.py, fprep.proj.visible,
-                mprep.px, mprep.py, mprep.proj.visible)
-
-    def _staleness(prep, refpx, refpy, refvis):
-        d = jnp.maximum(jnp.abs(prep.px - refpx), jnp.abs(prep.py - refpy))
-        both = prep.proj.visible & refvis
-        return jnp.max(jnp.where(both, d, 0.0))
+    def _chooser(sel_i, sel_v, refx, refy, refv, log: list):
+        """Selection callable for prepare(): same-frame guarded refresh."""
+        def choose(proj, px, py):
+            d = jnp.maximum(jnp.abs(px - refx), jnp.abs(py - refy))
+            both = proj.visible & refv
+            stale = jnp.max(jnp.where(both, d, 0.0))
+            refresh = stale > thresh_px
+            ids, valid = jax.lax.cond(
+                refresh,
+                lambda: tile_select(cfg, proj),
+                lambda: (sel_i, sel_v))
+            log.append((refresh, ids, valid,
+                        jnp.where(refresh, px, refx),
+                        jnp.where(refresh, py, refy),
+                        jnp.where(refresh, proj.visible, refv)))
+            return ids, valid
+        return choose
 
     def body(carry, i, *margs):
         fsel_i, fsel_v, msel_i, msel_v, fx, fy, fv, mx, my, mv, nref = carry
-        img, _, (fprep, mprep) = synth_one(*margs, i,
-                                           ((fsel_i, fsel_v),
-                                            (msel_i, msel_v)))
-        stale = jnp.maximum(_staleness(fprep, fx, fy, fv),
-                            _staleness(mprep, mx, my, mv))
-        refresh = stale > thresh_px
-
-        def do_refresh(preps):
-            fp, mp = preps
-            fi, fva = tile_select(cfg, fp.proj)
-            mi, mva = tile_select(cfg, mp.proj)
-            return (fi, fva, mi, mva) + _refs(fp, mp)
-
-        def keep(_):
-            return (fsel_i, fsel_v, msel_i, msel_v, fx, fy, fv, mx, my, mv)
-
-        new = jax.lax.cond(refresh, do_refresh, keep, (fprep, mprep))
-        return new + (nref + refresh.astype(jnp.int32),), img
+        flog, mlog = [], []
+        img, _, _ = synth_one(
+            *margs, i, (_chooser(fsel_i, fsel_v, fx, fy, fv, flog),
+                        _chooser(msel_i, msel_v, mx, my, mv, mlog)))
+        (fref, fi, fva, fx2, fy2, fv2), = flog
+        (mref, mi, mva, mx2, my2, mv2), = mlog
+        new = (fi, fva, mi, mva, fx2, fy2, fv2, mx2, my2, mv2,
+               nref + jnp.stack([fref, mref]).astype(jnp.int32))
+        return new, img
 
     @jax.jit
     def step(face_state, mouth_state, face_umf, mouth_umf, face_pmf,
@@ -255,7 +262,9 @@ def make_synthesis_chunk_auto_fn(cfg: RasterizeConfig,
         margs = (face_state, mouth_state, face_umf, mouth_umf, face_pmf,
                  mouth_pmf, batch)
         img0, (fsel, msel), (fprep, mprep) = synth_one(*margs, ivec[0], None)
-        carry = fsel + msel + _refs(fprep, mprep) + (jnp.int32(1),)
+        carry = fsel + msel + (fprep.px, fprep.py, fprep.proj.visible,
+                               mprep.px, mprep.py, mprep.proj.visible) \
+            + (jnp.ones((2,), jnp.int32),)
         carry, imgs = jax.lax.scan(lambda c, i: body(c, i, *margs),
                                    carry, ivec[1:])
         return jnp.concatenate([img0[None], imgs], 0), carry
@@ -399,10 +408,10 @@ def synthesize(model_cfg: ModelConfig, fuse_bundle: dict,
     dt = time.time() - t0
     achieved_fps = nf / max(dt, 1e-9)
     if select_auto > 0 and _carry is not None:
-        n_refresh = int(jax.device_get(_carry[-1]))
+        nf_ref, nm_ref = (int(x) for x in jax.device_get(_carry[-1]))
         print(f"[synthesize] select_auto({select_auto:g}px): "
-              f"{n_refresh}/{len(idx_all)} selection refreshes "
-              f"({100.0 * n_refresh / max(len(idx_all), 1):.1f}%)")
+              f"face {nf_ref}/{len(idx_all)}, mouth {nm_ref}/{len(idx_all)} "
+              f"selection refreshes")
 
     stacked = np.concatenate(frames, axis=0)[:nf]
     if variants:

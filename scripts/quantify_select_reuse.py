@@ -191,7 +191,7 @@ def main():
                                                   thresh_px=thresh)
         auto_imgs, carry = boot(*targs, tvec)
         auto_t = np.asarray(auto_imgs).astype(np.float32) / 255.0
-        n_ref = int(jax.device_get(carry[-1]))
+        n_ref = int(jax.device_get(carry[-1]).max())
         ps = [float(psnr(jnp.asarray(auto_t[i]), jnp.asarray(exact_t[i])))
               for i in range(n_turn)]
         ps4 = [float(psnr(jnp.asarray(se4_t[i]), jnp.asarray(exact_t[i])))
@@ -221,7 +221,7 @@ def main():
             chk = csum(imgs)
         fetch(chk)
         best = min(best, time.time() - t0 - rpc / 1e3)
-        n_ref_speed = int(jax.device_get(c[-1]))
+        n_ref_speed = int(jax.device_get(c[-1]).max())
     fps = n_disp * chunk / best
     print(f"# select_auto(4px): {fps:.1f} FPS "
           f"({1000*best/(n_disp*chunk):.2f} ms/frame) | refreshes "
