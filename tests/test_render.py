@@ -368,7 +368,7 @@ def test_synthesis_auto_static_is_exact_and_refreshes_once():
     imgs2, carry = step(*margs, ivec, carry)
     np.testing.assert_array_equal(np.asarray(imgs1), np.asarray(exact))
     np.testing.assert_array_equal(np.asarray(imgs2), np.asarray(exact))
-    assert int(carry[-1]) == 1                   # boot refresh only
+    assert np.asarray(carry[-1]).tolist() == [1, 1]   # boot refresh only
 
 
 def test_synthesis_auto_refreshes_on_fast_head_turn():
@@ -420,7 +420,7 @@ def test_synthesis_auto_refreshes_on_fast_head_turn():
     stale = make_synthesis_chunk_fn(cfg, mc, select_every=4)(*margs, ivec)
     boot, step = make_synthesis_chunk_auto_fn(cfg, mc, thresh_px=4.0)
     auto, carry = boot(*margs, ivec)
-    assert int(carry[-1]) >= 2                   # boot + jump-triggered
+    assert int(np.asarray(carry[-1]).max()) >= 2   # boot + jump-triggered
 
     def p(a, b):
         return float(psnr(jnp.asarray(a, jnp.float32) / 255.0,
